@@ -1,0 +1,93 @@
+"""Connected components via alternating large-star / small-star rounds
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+the canonicalization core of the KG pipeline.
+
+Why not GraphFrames: keeps the dependency surface to pyspark only, and the
+two-operation loop is a handful of DataFrame lines.
+
+Scale behavior:
+- each round is two shuffles keyed by node id; hub nodes (power-law degree)
+  are exactly what large-star handles: a hub's neighbors all point at the
+  hub's minimum, so its adjacency never re-materializes on one reducer
+- lineage is cut every round with localCheckpoint (the loop would otherwise
+  build an exponentially deep plan)
+- convergence is detected with a count of changed edges (one action/round);
+  rounds are O(log^2 n) worst case, ~5 for our graphs
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Symmetrize + drop self loops + distinct."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        edges.unionByName(rev)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to the min of
+    (u, neighbors(u)). Operates on the symmetrized edge list."""
+    nbrs = _sym(edges)
+    m = nbrs.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    big = nbrs.filter(F.col("dst") > F.col("src"))
+    return (
+        big.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect all smaller-or-equal neighbors (and u) to the
+    minimum of the group."""
+    # orient edges small->large: (src=max, dst=min)
+    e = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    m = e.groupBy("src").agg(F.min("dst").alias("m"))
+    return (
+        e.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(m.select(F.col("src"), F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 20, checkpoint: bool = True
+) -> DataFrame:
+    """edges(src, dst) -> (node, component) with component = min node id of
+    the component (any orderable node type works; strings are fine).
+
+    Nodes with no edges are absent — union isolated nodes downstream if
+    needed (the pipeline does this for singleton entities)."""
+    e = _sym(edges).localCheckpoint(eager=True) if checkpoint else _sym(edges)
+    for _ in range(max_rounds):
+        e2 = _small_star(_large_star(e))
+        if checkpoint:
+            e2 = e2.localCheckpoint(eager=True)
+        # converged when the edge set is stable (both are canonicalized forms)
+        changed = (
+            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        )
+        e = e2
+        if changed == 0:
+            break
+    # final star graph: every node points at its component min
+    comp = e.select(
+        F.greatest("src", "dst").alias("node"), F.least("src", "dst").alias("component")
+    )
+    comp = comp.groupBy("node").agg(F.min("component").alias("component"))
+    roots = comp.select(F.col("component").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return comp.unionByName(roots).distinct()

@@ -1,0 +1,306 @@
+"""DuckDB oracle SQL for every driver-contract query.
+
+Each string must be value-identical to its Spark twin: same column names,
+same types (BIGINT for counts, DOUBLE rounded in-query for float aggregates),
+same tokenization/hashing (md5 only), same tie-breaks. Views available:
+region nation customer supplier part orders lineitem events documents
+embeddings."""
+
+from __future__ import annotations
+
+from .kgops import DOC_NS, ENTITY_NS, MIN_ENTITY_DOCS, MIN_MENTION_LEN, ONTO
+from .textops.common import sql_ngrams, sql_words
+from .textops.dedup import BAND_ROWS, N_HASHES, SIMHASH_BITS
+from .textops.quality import LANG_MARKERS, LANG_ORDER, TOKEN_RE
+
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+XSD_STRING = "<http://www.w3.org/2001/XMLSchema#string>"
+XSD_INT = "<http://www.w3.org/2001/XMLSchema#integer>"
+
+_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+_WORDS = sql_words("text")
+_NGRAMS = sql_ngrams(_WORDS, 3)
+
+# --- textops -----------------------------------------------------------------
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["exact_dedup"] = f"""
+SELECT {_FP} AS fingerprint, min(doc_id) AS canonical_id, count(*)::BIGINT AS dup_count
+FROM documents GROUP BY 1
+"""
+
+ORACLES["doc_fingerprint"] = f"""
+SELECT doc_id, {_FP} AS fingerprint FROM documents
+"""
+
+ORACLES["ngram_jaccard_pairs"] = f"""
+WITH g AS (SELECT doc_id, unnest({_NGRAMS}) AS ng FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter / (sa.n + sb.n - inter) >= 0.5
+"""
+
+_minhash_cols = ", ".join(
+    f"min(md5('{i}|' || ng)) AS h{i}" for i in range(N_HASHES)
+)
+_band_selects = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(h{b * BAND_ROWS} || '|' || h{b * BAND_ROWS + 1}) AS key FROM sig"
+    for b in range(N_HASHES // BAND_ROWS)
+)
+ORACLES["minhash_lsh_pairs"] = f"""
+WITH g AS (SELECT doc_id, unnest({_NGRAMS}) AS ng FROM documents),
+sig AS (SELECT doc_id, {_minhash_cols} FROM g GROUP BY 1),
+bands AS ({_band_selects})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+_sim_sums = ", ".join(
+    "sum(CASE WHEN substr(h, %d, 1) IN ('8','9','a','b','c','d','e','f') "
+    "THEN 1 ELSE -1 END) AS s%d" % (j + 1, j)
+    for j in range(SIMHASH_BITS)
+)
+_sim_bits = " || ".join(
+    f"(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)" for j in range(SIMHASH_BITS)
+)
+ORACLES["simhash"] = f"""
+WITH t AS (SELECT doc_id, md5(unnest({_WORDS})) AS h FROM documents),
+s AS (SELECT doc_id, {_sim_sums} FROM t GROUP BY 1)
+SELECT doc_id, {_sim_bits} AS simhash FROM s
+"""
+
+ORACLES["token_count"] = f"""
+SELECT doc_id,
+       len({_WORDS})::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_RE}'))::BIGINT AS n_bpe_tokens,
+       length(text)::BIGINT AS n_chars
+FROM documents
+"""
+
+
+def _marker_sql(lang: str) -> str:
+    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+_counts = ", ".join(f"{_marker_sql(lang)} AS c_{lang}" for lang in LANG_ORDER)
+_best = "greatest(" + ", ".join(f"c_{lang}" for lang in LANG_ORDER) + ")"
+_case = " ".join(
+    f"WHEN c_{lang} = {_best} THEN '{lang}'" for lang in LANG_ORDER
+)
+ORACLES["lang_id"] = f"""
+WITH c AS (SELECT doc_id, {_counts} FROM documents)
+SELECT doc_id,
+       CASE WHEN {_best} = 0 THEN 'und' {_case} ELSE 'und' END AS pred_lang
+FROM c
+"""
+
+ORACLES["quality_score"] = f"""
+WITH c AS (
+  SELECT doc_id,
+         len({_WORDS}) AS n_tok,
+         {_marker_sql("en")} AS n_stop,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(text) AS n_chars
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+         least(n_tok / 100.0, 1.0) AS len_score
+  FROM c)
+SELECT doc_id, n_tok::BIGINT AS n_tokens,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(0.4 * stop_ratio + 0.4 * alpha_ratio + 0.2 * len_score, 6) AS score
+FROM r
+"""
+
+# --- ANN ----------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce([qv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(qv)+1)],"
+    " (a, b) -> a + b)"
+)
+_QNORM = (
+    "sqrt(list_reduce([qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1, len(qv)+1)],"
+    " (a, b) -> a + b))"
+)
+_CNORM = (
+    "sqrt(list_reduce([cv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(cv)+1)],"
+    " (a, b) -> a + b))"
+)
+_COS = f"round({_DOT} / ({_QNORM} * {_CNORM}), 6)"
+
+ORACLES["ann_cosine_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id, {_COS} AS sim
+  FROM q, c WHERE query_id <> cand_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
+  FROM scored)
+SELECT query_id, cand_id, sim, rk::BIGINT AS rk FROM ranked WHERE rk <= 5
+"""
+
+_BUCKET = " || ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8)
+)
+ORACLES["ann_lsh_bucket_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 10),
+c AS (SELECT vec_id AS cand_id, embedding AS cv, bucket FROM e),
+scored AS (
+  SELECT query_id, cand_id, {_COS} AS sim
+  FROM q JOIN c USING (bucket) WHERE query_id <> cand_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
+  FROM scored)
+SELECT query_id, cand_id, sim, rk::BIGINT AS rk FROM ranked WHERE rk <= 3
+"""
+
+# --- KG ops -------------------------------------------------------------------
+
+_MENTIONS = f"""
+SELECT doc_id, mention, count(*)::BIGINT AS n_occurrences
+FROM (SELECT doc_id, unnest({_WORDS}) AS mention FROM documents)
+WHERE length(mention) >= {MIN_MENTION_LEN}
+GROUP BY 1, 2
+"""
+
+ORACLES["kg_mentions"] = _MENTIONS
+
+ORACLES["kg_entity_link"] = f"""
+WITH m AS ({_MENTIONS}),
+d AS (SELECT mention AS entity FROM m GROUP BY 1
+      HAVING count(DISTINCT doc_id) >= {MIN_ENTITY_DOCS})
+SELECT m.doc_id, m.mention, '{ENTITY_NS}' || m.mention AS entity_iri, m.n_occurrences
+FROM m JOIN d ON m.mention = d.entity
+"""
+
+ORACLES["kg_doc_triples"] = f"""
+WITH m AS ({_MENTIONS}),
+d AS (SELECT mention AS entity FROM m GROUP BY 1
+      HAVING count(DISTINCT doc_id) >= {MIN_ENTITY_DOCS}),
+s AS (SELECT *, '<{DOC_NS}' || doc_id::VARCHAR || '>' AS subj FROM documents)
+SELECT subj, '{RDF_TYPE}' AS pred, '<{ONTO}Document>' AS obj FROM s
+UNION ALL
+SELECT subj, '<{ONTO}lang>', '"' || lang || '"^^{XSD_STRING}' FROM s
+UNION ALL
+SELECT subj, '<{ONTO}nChars>', '"' || n_chars::VARCHAR || '"^^{XSD_INT}' FROM s
+UNION ALL
+SELECT subj, '<{ONTO}source>', '<http://kg.example.com/source/' || source || '>' FROM s
+UNION ALL
+SELECT DISTINCT '<{DOC_NS}' || m.doc_id::VARCHAR || '>',
+       '<{ONTO}mentions>', '<{ENTITY_NS}' || m.mention || '>'
+FROM m JOIN d ON m.mention = d.entity
+"""
+
+# --- relational ops -------------------------------------------------------------
+
+ORACLES["rel_first_match_join"] = """
+WITH l1 AS (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber) AS rn
+  FROM lineitem)
+SELECT p.p_partkey, p.p_name,
+       l.l_orderkey AS first_orderkey,
+       l.l_linenumber AS first_linenumber,
+       round(l.l_quantity, 2) AS first_quantity
+FROM part p JOIN l1 l ON p.p_partkey = l.l_partkey AND l.rn = 1
+"""
+
+ORACLES["events_hourly_agg"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["events_sessionize"] = """
+WITH g AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+            THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS session_id
+  FROM g)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+ORACLES["tpch_q1_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+ORACLES["tpch_q3_shipping"] = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+# --- RML-engine queries ---------------------------------------------------------
+
+ORACLES["rml_nation_region_graph"] = f"""
+WITH nt AS (SELECT '<http://ex.org/nation/' || n_nationkey::VARCHAR || '>' AS subj,
+                   n_name, n_nationkey, n_regionkey FROM nation),
+rt AS (SELECT '<http://ex.org/region/' || r_regionkey::VARCHAR || '>' AS subj,
+              r_name, r_regionkey FROM region)
+SELECT subj, '{RDF_TYPE}' AS pred, '<http://ex.org/Nation>' AS obj FROM nt
+UNION ALL SELECT subj, '<http://ex.org/name>', '"' || n_name || '"^^{XSD_STRING}' FROM nt
+UNION ALL SELECT subj, '<http://ex.org/key>', '"' || n_nationkey::VARCHAR || '"^^{XSD_INT}' FROM nt
+UNION ALL SELECT n.subj, '<http://ex.org/inRegion>', r.subj
+          FROM nt n JOIN rt r ON n.n_regionkey = r.r_regionkey
+UNION ALL SELECT subj, '{RDF_TYPE}', '<http://ex.org/Region>' FROM rt
+UNION ALL SELECT subj, '<http://ex.org/name>', '"' || r_name || '"^^{XSD_STRING}' FROM rt
+"""
+
+ORACLES["rml_subject_space_discard"] = f"""
+WITH d AS (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders),
+s AS (SELECT '<http://ex.org/prio/' || o_orderpriority || '/' || o_orderstatus || '>' AS subj,
+             o_orderstatus
+      FROM d
+      WHERE ('<http://ex.org/prio/' || o_orderpriority || '/' || o_orderstatus || '>') NOT LIKE '% %')
+SELECT subj, '{RDF_TYPE}' AS pred, '<http://ex.org/PriorityStatus>' AS obj FROM s
+UNION ALL SELECT subj, '<http://ex.org/status>', '"' || o_orderstatus || '"^^{XSD_STRING}' FROM s
+"""
+
+ORACLES["rml_self_join"] = """
+SELECT '<http://ex.org/order/' || o_orderkey::VARCHAR || '>' AS subj,
+       '<http://ex.org/by>' AS pred,
+       '<http://ex.org/customer/' || o_custkey::VARCHAR || '>' AS obj
+FROM orders
+"""
+
+ORACLES["rml_constant_terms"] = f"""
+WITH s AS (SELECT '<http://ex.org/region/' || r_regionkey::VARCHAR || '>' AS subj, r_name
+           FROM region)
+SELECT subj, '<http://ex.org/seeAlso>' AS pred, '<http://example.org/static>' AS obj FROM s
+UNION ALL SELECT subj, '<http://ex.org/kind>',
+                 '"http://ex.org/RegionKind"^^{XSD_STRING}' FROM s
+UNION ALL SELECT subj, 'missing:pred', '"' || r_name || '"^^{XSD_STRING}' FROM s
+"""

@@ -1,0 +1,76 @@
+"""Registry of driver-contract queries: name -> (spark, sf_dir) -> DataFrame,
+plus the DuckDB oracle for each (oracles.py). This is the single source of
+truth consumed by __spark_entry__.py, the cross-check tests, and bench.py."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import kgops, relops, rmlops
+from .oracles import ORACLES
+from .textops import (
+    ann_cosine_topk,
+    ann_lsh_bucket_topk,
+    doc_fingerprint,
+    exact_dedup,
+    lang_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash,
+    token_count,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _docs_op(fn) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    return run
+
+
+def _emb_op(fn) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+    return run
+
+
+QUERIES: dict[str, QueryFn] = {
+    # training-data ops: dedup family
+    "exact_dedup": _docs_op(exact_dedup),
+    "doc_fingerprint": _docs_op(doc_fingerprint),
+    "ngram_jaccard_pairs": _docs_op(ngram_jaccard_pairs),
+    "minhash_lsh_pairs": _docs_op(minhash_lsh_pairs),
+    "simhash": _docs_op(simhash),
+    # text analysis
+    "token_count": _docs_op(token_count),
+    "lang_id": _docs_op(lang_id),
+    "quality_score": _docs_op(quality_score),
+    # similarity search
+    "ann_cosine_topk": _emb_op(ann_cosine_topk),
+    "ann_lsh_bucket_topk": _emb_op(ann_lsh_bucket_topk),
+    # KG construction (batch face)
+    "kg_mentions": kgops.kg_mentions,
+    "kg_entity_link": kgops.kg_entity_link,
+    "kg_doc_triples": kgops.kg_doc_triples,
+    # relational / streaming-batch twins
+    "rel_first_match_join": relops.rel_first_match_join,
+    "events_hourly_agg": relops.events_hourly_agg,
+    "events_sessionize": relops.events_sessionize,
+    "tpch_q1_pricing": relops.tpch_q1_pricing,
+    "tpch_q3_shipping": relops.tpch_q3_shipping,
+    # RML engine end-to-end
+    "rml_nation_region_graph": rmlops.rml_nation_region_graph,
+    "rml_subject_space_discard": rmlops.rml_subject_space_discard,
+    "rml_self_join": rmlops.rml_self_join,
+    "rml_constant_terms": rmlops.rml_constant_terms,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v for k, v in ORACLES.items() if k in QUERIES}

@@ -1,0 +1,137 @@
+"""Relational operators exposed as standalone, oracle-checkable queries:
+the RML J1 first-match join as a reusable op, event sessionization/windowed
+aggregation, and two TPC-H-style health queries used as bench anchors."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def first_match_join(
+    child: DataFrame,
+    parent: DataFrame,
+    on: list[tuple[str, str]],
+    parent_order: list[str],
+    parent_cols: list[str],
+) -> DataFrame:
+    """Equi-join keeping only the FIRST matching parent row per join key —
+    the set-oriented form of the reference's per-child-row `query_row`
+    first-match lookup (src/materialiser.rs:573-580), with the match order
+    made explicit. Parent collapses BEFORE the join: one shuffle on the join
+    keys, and the collapsed side is broadcast-able when small."""
+    keys = [p for _c, p in on]
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in parent_order])
+    p1 = (
+        parent.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*keys, *[c for c in parent_cols if c not in keys])
+    )
+    cond = None
+    for c, p in on:
+        e = child[c] == p1[p]
+        cond = e if cond is None else cond & e
+    return child.join(p1, cond, "inner")
+
+
+# --- driver-contract queries ------------------------------------------------
+
+
+def rel_first_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each part joined to its first lineitem occurrence (ordered by
+    (l_orderkey, l_linenumber)) — J1 semantics over TPC-H-ish tables."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = first_match_join(
+        part.select("p_partkey", "p_name"),
+        li,
+        on=[("p_partkey", "l_partkey")],
+        parent_order=["l_orderkey", "l_linenumber"],
+        parent_cols=["l_partkey", "l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    return out.select(
+        "p_partkey",
+        "p_name",
+        F.col("l_orderkey").alias("first_orderkey"),
+        F.col("l_linenumber").alias("first_linenumber"),
+        F.round("l_quantity", 2).alias("first_quantity"),
+    )
+
+
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window per event_type: count + sum(value). The batch twin
+    of the streaming variant in streaming/ (same grouping expression)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): per (user, session) event count and
+    span. One window over (user_id, ts) — the declarative form of a stateful
+    session operator; scales as a single shuffle on user_id."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps load as TIMESTAMP_NTZ in Spark 4; session tz is UTC
+    # so the epoch-seconds detour is exact
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-heavy anchor: customer x orders x lineitem, top 10 revenue.
+    customer is small -> broadcast; the big join shuffles on orderkey."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )

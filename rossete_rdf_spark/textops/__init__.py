@@ -1,0 +1,8 @@
+from .ann import ann_cosine_topk, ann_lsh_bucket_topk  # noqa: F401
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .quality import doc_fingerprint, lang_id, quality_score, token_count  # noqa: F401

@@ -1,0 +1,55 @@
+"""Shared tokenization primitives for the training-data ops.
+
+Every op in textops/ ships BOTH a Spark implementation and an ANSI-SQL oracle
+(DuckDB) that must produce byte-identical values; these helpers keep the two
+sides' tokenization in lock-step. Hashing is md5 (identical hex output in
+Spark and DuckDB), never engine-specific hash() functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- Spark side ------------------------------------------------------------
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokens, empties removed. Matches sql_words()."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def ngrams_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams joined by spaces. Matches sql_ngrams().
+
+    Spark arrays are 0-indexed (element_at is 1-indexed); the SQL twin uses
+    DuckDB's 1-indexed lists — both emit tokens[i..i+n-1] joined with ' '."""
+    w = words_col(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+# --- SQL (DuckDB oracle) side ----------------------------------------------
+
+
+def sql_words(text_expr: str) -> str:
+    return f"list_filter(string_split_regex({text_expr}, '\\s+'), w -> w <> '')"
+
+
+def sql_ngrams(words_expr: str, n: int = 3) -> str:
+    """DuckDB expression: distinct word n-grams over a word-list expression.
+
+    range(1, len-n+2) is empty when the doc has < n words, so short docs
+    yield [] exactly like the Spark side's greatest(..., 0) guard."""
+    join = " || ' ' || ".join(f"({words_expr})[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct([{join} "
+        f"for i in range(1, len({words_expr}) - {n - 2})])"
+    )

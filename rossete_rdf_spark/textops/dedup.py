@@ -1,0 +1,186 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Four tiers, all shuffle-aware and expressed as DataFrame ops (no Python in
+the hot path); each has a DuckDB oracle twin in oracles.py:
+
+  exact_dedup         hash-groupBy on a normalized-text md5 fingerprint
+  ngram_jaccard_pairs exact n-gram Jaccard all-pairs (inverted-index join —
+                      the standard prefix-filter-free similarity join)
+  minhash_lsh_pairs   MinHash signatures + LSH banding join (the scale path:
+                      candidate generation cost ~ #docs x #bands, not #pairs)
+  simhash             per-doc SimHash bit signature for Hamming-style near-dup
+
+At 100 TB: all joins key on content-derived hashes -> uniformly distributed,
+no skew salting needed; the banding join groups by (band_id, band_key) so
+each bucket is small by construction. Empty-text docs produce no shingles and
+silently drop out of pair generation (they are caught by exact_dedup instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .common import ngrams_col, words_col
+
+# ---------------------------------------------------------------------------
+
+
+def normalized_fingerprint(text_col):
+    """md5 of lowercased, whitespace-collapsed text."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized text: (fingerprint, canonical_id =
+    lowest doc id, dup_count). Map-side-combinable single shuffle."""
+    return (
+        docs.select(
+            normalized_fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def _doc_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngrams_col(F.col(text_col), n)).alias("ng"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with word-n-gram Jaccard >= threshold.
+
+    Inverted-index self-join: explode distinct n-grams, join on the n-gram,
+    count intersections, derive union from per-doc set sizes. Exact — the
+    verification stage after LSH candidate generation at scale."""
+    grams = _doc_ngrams(docs, id_col, text_col, n)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+
+N_HASHES = 8
+BAND_ROWS = 2  # 4 bands of 2 rows
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, h0..h{N_HASHES-1}) MinHash signature.
+
+    Hash family i is md5(i || '|' || shingle) — portable (identical in the
+    DuckDB oracle) and uniformly distributed; the min is over hex strings,
+    which is order-isomorphic to the min over the underlying 128-bit ints."""
+    grams = _doc_ngrams(docs, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("ng")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return grams.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, n_bands they collide in).
+
+    Banding: N_HASHES/BAND_ROWS bands, band key = md5 of its rows; docs
+    sharing any band key become candidates. Self-join groups by band key —
+    bucket sizes are bounded, so the join never explodes on a hot key."""
+    sig = minhash_signatures(docs, n, id_col, text_col)
+    n_bands = N_HASHES // BAND_ROWS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)],
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash) — SIMHASH_BITS-char '0'/'1' string.
+
+    Bit j is the sign of sum over tokens of +-1 by the high bit of md5
+    nibble j (nibble in 89abcdef => +1). Token multiset, not set: repeated
+    words weigh more, like classic SimHash term weighting."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_col(F.col(text_col))).alias("w"),
+    ).select("doc_id", F.md5("w").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    summed = toks.groupBy("doc_id").agg(*aggs)
+    bits = F.concat(
+        *[F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(SIMHASH_BITS)]
+    )
+    return summed.select("doc_id", bits.alias("simhash"))

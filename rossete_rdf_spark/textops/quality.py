@@ -1,0 +1,84 @@
+"""Text-analysis operators: token counting, language ID, quality scoring,
+document fingerprinting. All pure Column expressions (whole-stage codegen);
+DuckDB oracle twins live in oracles.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .common import words_col
+from .dedup import normalized_fingerprint
+
+# BPE-ish lexer: words, digit runs, single punctuation marks. Identical
+# semantics under Java regex (Spark) and RE2 (DuckDB) — no lookaround.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Marker stopwords per language for the n-gram/stopword heuristic language ID.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "es": ["el", "la", "de", "y", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "une"],
+}
+LANG_ORDER = ["en", "es", "de", "fr"]  # deterministic tie-break order
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_chars)."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words_col(t)).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).cast("long").alias("n_bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+def _marker_count(text, lang: str):
+    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang) — argmax marker-word count, 'und' when all zero.
+
+    Ties break by LANG_ORDER (first language with the max count), exactly
+    like the oracle's CASE chain."""
+    t = F.col(text_col)
+    counts = {lang: _marker_count(t, lang) for lang in LANG_ORDER}
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when(counts[lang] == best, lang).otherwise(expr)
+    expr = F.when(best == 0, "und").otherwise(expr)
+    return docs.select(F.col(id_col).alias("doc_id"), expr.alias("pred_lang"))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, stopword_ratio, alpha_ratio, score) — a
+    length/punct/stopword-ratio quality heuristic, rounded for portability."""
+    t = F.col(text_col)
+    n_tok = F.size(words_col(t))
+    n_stop = _marker_count(t, "en")
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_chars = F.length(t)
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    score = 0.4 * stop_ratio + 0.4 * alpha_ratio + 0.2 * len_score
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("score"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint) — md5 of lower/whitespace-normalized text."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        normalized_fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
