@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "kg_pipeline": {...triples/sec...},
+   "scaling": {...local[N] vs local[4N] efficiency...}}
+
+Env:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     high-parallelism core count (default 32)
+  SPARK_GRAFT_BENCH_PAGES  synthetic page count for the KG job (default 120000)
+  SPARK_GRAFT_SKIP_SCALING set to skip the two-parallelism run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rossete_rdf_spark.pipeline.canonicalize import canonical_entity_map  # noqa: E402
+from rossete_rdf_spark.pipeline.extract import extract_pages  # noqa: E402
+from rossete_rdf_spark.pipeline.kg import mention_triples, page_triples  # noqa: E402
+from rossete_rdf_spark.pipeline.mentions import (  # noqa: E402
+    build_gazetteer,
+    link_mentions,
+    page_mentions,
+)
+from rossete_rdf_spark.pipeline.webpages import synth_pages  # noqa: E402
+from rossete_rdf_spark.registry import QUERIES  # noqa: E402
+from rossete_rdf_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "rml_nation_region_graph",
+    "rml_subject_space_discard",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "token_count",
+    "lang_id",
+    "ann_cosine_topk",
+    "kg_mentions",
+    "kg_doc_triples",
+    "events_sessionize",
+    "rel_first_match_join",
+]
+
+
+def _force(df) -> None:
+    """Materialize fully without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def kg_job(spark, n_pages: int, partitions: int, min_words: int = 240,
+           word_spread: int = 160, python_parallelism: int = 8) -> int:
+    """The scaling workload: full KG construction plan (extract -> page
+    dedup -> mentions -> gazetteer -> link -> canonicalize -> triples), no
+    checkpoint I/O, over Common-Crawl-sized pages (240..399 words).
+
+    The pandas-UDF stages run at a FIXED Python-worker count (the inference
+    pattern -- workers sized to saturate the Arrow feed, not the core
+    count), so the parallelism comparison measures the JVM dataflow:
+    shuffles, LSH/banding joins, aggregations, CC. Returns triple count."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from rossete_rdf_spark.pipeline.pagedup import canonical_pages
+
+    pages = synth_pages(
+        spark, n_pages, partitions=partitions,
+        min_words=min_words, word_spread=word_spread,
+    )
+    pages_text = extract_pages(pages, python_parallelism).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    deduped = canonical_pages(pages_text).persist(StorageLevel.MEMORY_AND_DISK)
+    # mentions is one exploded row per occurrence -- cache SERIALIZED:
+    # deserialized Java-object caching of tiny rows causes GC storms
+    mentions = page_mentions(deduped, python_parallelism).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    gaz = build_gazetteer(mentions, min_pages=3)
+    linked = link_mentions(mentions, gaz)
+    canonical = canonical_entity_map(gaz.select("surface"), threshold=0.6)
+    triples = (
+        page_triples(deduped)
+        .withColumn("graph", F.lit("pages"))
+        .unionByName(
+            mention_triples(linked, canonical).withColumn("graph", F.lit("mentions"))
+        )
+    )
+    n = triples.count()
+    mentions.unpersist()
+    deduped.unpersist()
+    pages_text.unpersist()
+    return n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    t_all = time.time()
+    timings: dict[str, float] = {}
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    result = {
+        "metric": "bench_total",
+        "value": None,  # filled at the end
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    def timed_kg(master_cores: int) -> tuple[float, int]:
+        """Fresh session; a small warm-up run pays Python-worker startup and
+        JIT outside the timed window (a real cluster amortizes those over
+        job lifetime); then the timed run."""
+        s = get_spark(
+            f"bench-{master_cores}",
+            master=f"local[{master_cores}]",
+            shuffle_partitions=cpus * 2,
+        )
+        kg_job(s, 2000, partitions=cpus)  # warm-up
+        t0 = time.time()
+        n = kg_job(s, n_pages, partitions=cpus * 2)
+        sec = time.time() - t0
+        s.stop()
+        return sec, n
+
+    # KG pipeline throughput at full parallelism (doubles as the scaling
+    # high-parallelism measurement)
+    hi_sec, n_triples = timed_kg(cpus)
+    result["kg_pipeline"] = {
+        "pages": n_pages,
+        "triples": n_triples,
+        "sec": round(hi_sec, 3),
+        "triples_per_sec": round(n_triples / hi_sec, 1),
+        "pages_per_sec": round(n_pages / hi_sec, 1),
+    }
+
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        low = max(cpus // 4, 1)
+        lo_sec, _ = timed_kg(low)
+        thr_lo, thr_hi = n_pages / lo_sec, n_pages / hi_sec
+        result["scaling"] = {
+            "workload": f"kg_job({n_pages} pages)",
+            "cores_low": low,
+            "cores_high": cpus,
+            "sec_low": round(lo_sec, 3),
+            "sec_high": round(hi_sec, 3),
+            "pages_per_sec_low": round(thr_lo, 1),
+            "pages_per_sec_high": round(thr_hi, 1),
+            "efficiency": round(thr_hi / (thr_lo * (cpus / low)), 3),
+        }
+
+    result["value"] = round(time.time() - t_all, 3)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

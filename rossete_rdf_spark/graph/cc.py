@@ -70,18 +70,27 @@ def connected_components(
 
     Nodes with no edges are absent — union isolated nodes downstream if
     needed (the pipeline does this for singleton entities)."""
+    def _sig(df: DataFrame) -> tuple:
+        """Order-independent (count, hash-sum) signature of the edge set —
+        one cheap job per round instead of two exceptAll scans."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            # decimal sum: ANSI mode would overflow a long hash-sum
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["c"], row["h"])
+
     e = _sym(edges).localCheckpoint(eager=True) if checkpoint else _sym(edges)
+    sig = _sig(e)
     for _ in range(max_rounds):
         e2 = _small_star(_large_star(e))
         if checkpoint:
             e2 = e2.localCheckpoint(eager=True)
-        # converged when the edge set is stable (both are canonicalized forms)
-        changed = (
-            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
-        )
+        sig2 = _sig(e2)
         e = e2
-        if changed == 0:
+        if sig2 == sig:  # converged: the canonicalized edge set is stable
             break
+        sig = sig2
     # final star graph: every node points at its component min
     comp = e.select(
         F.greatest("src", "dst").alias("node"), F.least("src", "dst").alias("component")

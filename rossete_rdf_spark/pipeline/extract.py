@@ -19,13 +19,17 @@ from pyspark.sql.functions import pandas_udf
 
 _TAG = re.compile(rb"<[^>]*>")
 _WS = re.compile(rb"\s+")
+_BODY = re.compile(rb"<body[^>]*>(.*)</body>", re.DOTALL | re.IGNORECASE)
 
 
 def extract_text_bytes(html: bytes) -> bytes:
-    """Strip tags, collapse whitespace. Pure function of the input bytes."""
+    """Main-content extraction: body-only, tags stripped, whitespace
+    collapsed. Pure function of the input bytes — THE pinned invariant."""
     if html is None:
         return b""
-    no_tags = _TAG.sub(b" ", html)
+    m = _BODY.search(html)
+    content = m.group(1) if m else html
+    no_tags = _TAG.sub(b" ", content)
     return _WS.sub(b" ", no_tags).strip()
 
 
@@ -34,11 +38,18 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(lambda b: extract_text_bytes(b).decode("utf-8", "replace"))
 
 
-def extract_pages(pages: DataFrame) -> DataFrame:
+def extract_pages(pages: DataFrame, python_parallelism: int | None = None) -> DataFrame:
     """(url, warc_ts, html, ...) -> (url, warc_ts, lang, text) with text
     re-derived from html bytes. Column expression everywhere except the
-    vectorized extractor itself."""
-    return pages.select(
+    vectorized extractor itself.
+
+    python_parallelism caps the number of concurrent Python workers for this
+    stage (coalesce, no shuffle) — the pandas-UDF analogue of running model
+    inference with spark.task.cpus > 1: JVM-side stages keep full
+    parallelism, the Python stage runs at the worker count that saturates
+    the Arrow feed instead of oversubscribing every core."""
+    df = pages.coalesce(python_parallelism) if python_parallelism else pages
+    return df.select(
         "url",
         "warc_ts",
         "lang",

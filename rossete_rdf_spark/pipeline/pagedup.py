@@ -1,0 +1,51 @@
+"""Page-level deduplication: exact (fingerprint hash-groupBy) + near-dup
+(MinHash-LSH banding with a bucket-size skew cap) edges, collapsed with
+connected components; only the canonical page of each duplicate cluster
+survives into mention detection and triple materialisation.
+
+This is the classic Common-Crawl hygiene stage: ~several percent of pages
+are boilerplate duplicates; dropping them BEFORE the Python mention stage
+also cuts the most expensive part of the pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph.cc import connected_components
+from ..textops.dedup import minhash_lsh_pairs, normalized_fingerprint
+
+MAX_BUCKET = 50  # LSH band buckets bigger than this are non-discriminative
+MIN_BANDS = 2  # near-dup candidates must collide in >= 2 of 4 bands
+
+
+def duplicate_edges(pages_text: DataFrame) -> DataFrame:
+    """(src, dst) url pairs that are exact or near duplicates."""
+    fp = pages_text.select(
+        "url", normalized_fingerprint(F.col("text")).alias("fp")
+    )
+    canon = fp.groupBy("fp").agg(F.min("url").alias("dst"), F.count(F.lit(1)).alias("n"))
+    exact = (
+        fp.join(canon.filter(F.col("n") > 1), "fp")
+        .filter(F.col("url") != F.col("dst"))
+        .select(F.col("url").alias("src"), F.col("dst"))
+    )
+    near = (
+        minhash_lsh_pairs(
+            pages_text, id_col="url", text_col="text", max_bucket=MAX_BUCKET
+        )
+        .filter(F.col("n_bands") >= MIN_BANDS)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return exact.unionByName(near)
+
+
+def canonical_pages(pages_text: DataFrame) -> DataFrame:
+    """Drop non-canonical duplicates: CC over duplicate edges, keep one page
+    (the min url) per cluster. Output schema == input schema."""
+    comp = connected_components(duplicate_edges(pages_text))
+    return (
+        pages_text.join(comp, pages_text["url"] == comp["node"], "left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("url")))
+        .select(*pages_text.columns)
+    )

@@ -31,14 +31,26 @@ DUP_EVERY = 20
 EXACT_DUP_EVERY = 50
 
 
+RARE_TOKENS = 50_000  # long-tail vocabulary size (web text is heavy-tailed)
+
+
 def _word(seed_col, i: int):
     """Deterministic vocab pick: affine hash of (id, position) mod |VOCAB|."""
     mix = (seed_col * 2654435761 + F.lit(i * 40503 + 7)) % (2**31)
     return F.element_at(F.lit(VOCAB), (mix % len(VOCAB) + 1).cast("int"))
 
 
-def synth_pages(spark: SparkSession, n_pages: int, partitions: int = 32) -> DataFrame:
-    """Generate the page table with `n_pages` rows."""
+def synth_pages(
+    spark: SparkSession,
+    n_pages: int,
+    partitions: int = 32,
+    min_words: int = 16,
+    word_spread: int = 24,
+) -> DataFrame:
+    """Generate the page table with `n_pages` rows of min_words..
+    (min_words+word_spread-1) words each. Tests use small pages; the bench
+    uses a few hundred words/page (Common-Crawl-ish extracted-text size) so
+    compute, not task overhead, dominates."""
     df = spark.range(0, n_pages, 1, partitions)
     # near-dups share the text seed of the previous row
     seed = F.when(
@@ -49,16 +61,18 @@ def synth_pages(spark: SparkSession, n_pages: int, partitions: int = 32) -> Data
         (F.col("id") % EXACT_DUP_EVERY == 3) & (F.col("id") > 3), F.col("id") - 3
     ).otherwise(seed)
 
-    n_words = (seed % 24 + 16).cast("int")  # 16..39 words
-    words = F.transform(
-        F.sequence(F.lit(0), n_words - 1),
-        lambda i: F.element_at(
-            F.lit(VOCAB),
-            (((seed * 2654435761 + (i * 40503 + 7)) % (2**31)) % len(VOCAB) + 1).cast(
-                "int"
-            ),
-        ),
-    )
+    n_words = (seed % word_spread + min_words).cast("int")
+
+    def pick(i):
+        mix = (seed * 2654435761 + (i * 40503 + 7)) % (2**31)
+        common = F.element_at(F.lit(VOCAB), (mix % len(VOCAB) + 1).cast("int"))
+        # every 3rd position draws from the 50k-token long tail: web text is
+        # heavy-tailed, and without shingle diversity MinHash band keys would
+        # collide across unrelated pages (mega-buckets -> quadratic LSH join)
+        rare = F.concat(F.lit("tok"), (mix % RARE_TOKENS).cast("string"))
+        return F.when(i % 3 == 2, rare).otherwise(common)
+
+    words = F.transform(F.sequence(F.lit(0), n_words - 1), pick)
     text = F.concat_ws(" ", words)
     # near-dup marker: one extra word appended so a near dup != exact dup
     text = F.when(

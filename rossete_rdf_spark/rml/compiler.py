@@ -88,27 +88,55 @@ def materialize_map(
     graph_iri = tmap.subject.graph or tmap.name
     frames: list[DataFrame] = []
 
+    # All scalar (non-join) predicates — including the rr:class triple and
+    # same-source self-joins — are computed in ONE pass over the source:
+    # an array of (pred, obj) structs per row, nulled-out when the term's
+    # keep-condition fails, then explode. A union of per-predicate frames
+    # would re-scan the source once per predicate; at 100 TB that's the
+    # difference between 1 and N passes.
+    scalar_terms: list = []
+
     if tmap.subject.rr_class:
         cls = expand_curie(tmap.subject.rr_class, tmap.prefixes, tags=True)
-        frames.append(
-            child.select(
-                F.col("subj"),
-                F.lit(RDF_TYPE).alias("pred"),
-                F.lit(cls).alias("obj"),
-            )
+        scalar_terms.append(
+            F.struct(F.lit(RDF_TYPE).alias("pred"), F.lit(cls).alias("obj"))
         )
 
     for pom in tmap.poms:
         pred = expand_curie(pom.predicate, tmap.prefixes, tags=True)
         if isinstance(pom.object, ObjectTerm):
             obj_col, keep = object_term_column(pom.object, tmap.prefixes, cmap)
-            frames.append(
-                child.filter(keep).select(
-                    F.col("subj"), F.lit(pred).alias("pred"), obj_col.alias("obj")
+            scalar_terms.append(
+                F.when(
+                    keep, F.struct(F.lit(pred).alias("pred"), obj_col.alias("obj"))
                 )
             )
         else:
-            frames.append(_join_pom_frame(spark, tmap, pom.object, pred, child, cmap, maps_by_name))
+            parent = maps_by_name.get(pom.object.parent_map)
+            if parent is not None and _same_source(tmap, parent):
+                # J2 self-join: same-row compute, stays in the single pass
+                obj_col = template_column(parent.subject.template, cmap)
+                scalar_terms.append(
+                    F.when(
+                        iri_is_valid(obj_col),
+                        F.struct(F.lit(pred).alias("pred"), obj_col.alias("obj")),
+                    )
+                )
+            else:
+                frames.append(
+                    _join_pom_frame(
+                        spark, tmap, pom.object, pred, child, cmap, maps_by_name
+                    )
+                )
+
+    if scalar_terms:
+        po = F.filter(F.array(*scalar_terms), lambda s: s.isNotNull())
+        frames.insert(
+            0,
+            child.select(F.col("subj"), F.explode(po).alias("po")).select(
+                "subj", F.col("po.pred").alias("pred"), F.col("po.obj").alias("obj")
+            ),
+        )
 
     if not frames:
         frames = [

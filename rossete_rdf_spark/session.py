@@ -14,12 +14,25 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = "32"
 
 
+def _ensure_driver_memory() -> None:
+    """spark.driver.memory is a JVM launch option: setting it on the builder
+    is silently IGNORED in local mode once the gateway JVM exists. With the
+    1g default heap, 32 concurrent local tasks thrash the unified memory pool
+    (cache eviction + recompute + GC storms — measured 30x slowdowns). Inject
+    it into PYSPARK_SUBMIT_ARGS before the first JVM launch instead."""
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", "48g")
+    args = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
+    if "--driver-memory" not in args:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} " + args
+
+
 def get_spark(
     app_name: str = "rossete-rdf-spark",
     master: str | None = None,
     shuffle_partitions: str | int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    _ensure_driver_memory()
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     b = (
         SparkSession.builder.appName(app_name)
@@ -36,7 +49,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # driver memory itself is injected pre-JVM by _ensure_driver_memory
+        .config("spark.memory.fraction", "0.7")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .common import ngrams_col, words_col
 
@@ -113,13 +114,21 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, n_bands they collide in).
 
     Banding: N_HASHES/BAND_ROWS bands, band key = md5 of its rows; docs
-    sharing any band key become candidates. Self-join groups by band key —
-    bucket sizes are bounded, so the join never explodes on a hot key."""
+    sharing any band key become candidates.
+
+    max_bucket is the skew guard for web-scale corpora: a band bucket with
+    thousands of members is non-discriminative (boilerplate, near-empty
+    pages) and would make the self-join quadratic on that key — standard
+    LSH practice drops buckets above a size cap before joining."""
     sig = minhash_signatures(docs, n, id_col, text_col)
     n_bands = N_HASHES // BAND_ROWS
     bands = sig.select(
@@ -141,6 +150,14 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    if max_bucket:
+        w = Window.partitionBy("band", "key")
+        bands = (
+            bands.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
 
     a = bands.alias("a")
     b = bands.alias("b")

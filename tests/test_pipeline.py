@@ -1,0 +1,114 @@
+"""Web-pipeline tests: extraction invariant, stage correctness, CC,
+canonicalization, and checkpoint/resume identity."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from rossete_rdf_spark.graph.cc import connected_components
+from rossete_rdf_spark.pipeline import (
+    extract_text_bytes,
+    load_triples,
+    run_kg_pipeline,
+    synth_pages,
+)
+from rossete_rdf_spark.pipeline.canonicalize import canonical_entity_map
+
+N_PAGES = 400
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth_pages(spark, N_PAGES, partitions=8).cache()
+
+
+def test_synth_pages_deterministic(spark, pages):
+    again = synth_pages(spark, N_PAGES, partitions=4)  # different partitioning
+    a = {r["url"]: (r["text"], r["lang"], bytes(r["html"])) for r in pages.collect()}
+    b = {r["url"]: (r["text"], r["lang"], bytes(r["html"])) for r in again.collect()}
+    assert a == b
+
+
+def test_extraction_byte_identical_per_url(pages):
+    """The pinned invariant: extractor(html) == text, byte for byte."""
+    rows = pages.collect()
+    assert len(rows) == N_PAGES
+    for r in rows:
+        assert extract_text_bytes(bytes(r["html"])).decode() == r["text"], r["url"]
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")],
+        ["src", "dst"],
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert "p" not in comp  # self-loop only -> no edge -> not a node
+
+
+def test_connected_components_chain(spark):
+    n = 40
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)], ["src", "dst"]
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert len(comp) == n + 1
+    assert set(comp.values()) == {"n000"}
+
+
+def test_canonicalize_collapses_variants(spark):
+    surfaces = spark.createDataFrame(
+        [("sparkle",), ("sparkles",), ("database",), ("databases",), ("qqqq",)],
+        ["surface"],
+    )
+    m = {r["surface"]: r["canonical"] for r in canonical_entity_map(surfaces, 0.5).collect()}
+    assert m["sparkle"] == m["sparkles"]
+    assert m["database"] == m["databases"]
+    assert m["qqqq"] == "qqqq"
+    assert m["sparkle"] != m["database"]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("kgwork"))
+
+
+def test_pipeline_end_to_end(spark, pages, workdir):
+    full = os.path.join(workdir, "full")
+    metrics = run_kg_pipeline(spark, pages, full)
+    assert set(metrics.keys()) == {
+        "extract", "pagedup", "mentions", "gazetteer", "linked", "canonical",
+        "triples",
+    }
+    assert metrics["extract"]["rows"] == N_PAGES
+    kept = metrics["pagedup"]["rows"]
+    # the generator plants ~5% near-dups + ~2% exact dups
+    assert 0.85 * N_PAGES < kept < N_PAGES
+    assert metrics["triples"]["rows"] > 3 * kept  # 3 page triples + mentions
+    for st in metrics.values():  # lineage counters recorded per partition
+        assert st["rows"] == sum(st["partition_rows"].values())
+    t = load_triples(spark, full)
+    assert t.columns == ["subj", "pred", "obj", "graph"]
+    # near-dup pages produced canonical entity IRIs: every mention object is
+    # a canonical surface (mentions graph non-empty)
+    assert t.filter(t.graph == "mentions").count() > 0
+
+
+def test_pipeline_resume_identity(spark, pages, workdir):
+    """Kill after stage 3, re-run, final triples identical to the full run."""
+    full = os.path.join(workdir, "full")  # built by previous test
+    part = os.path.join(workdir, "partial")
+    shutil.rmtree(part, ignore_errors=True)
+    run_kg_pipeline(spark, pages, part, stop_after="gazetteer")
+    assert not os.path.exists(os.path.join(part, "stage_triples.parquet"))
+    # resume: completes remaining stages, skips finished ones (their wall
+    # times in the manifest stay from run 1)
+    run_kg_pipeline(spark, pages, part)
+    a = sorted(map(tuple, load_triples(spark, full).collect()))
+    b = sorted(map(tuple, load_triples(spark, part).collect()))
+    assert a == b
