@@ -50,10 +50,12 @@ WHERE inter / (sa.n + sb.n - inter) >= 0.5
 """
 
 _minhash_cols = ", ".join(
-    f"min(md5('{i}|' || ng)) AS h{i}" for i in range(N_HASHES)
+    f"min(('0x' || substr(md5('{i}|' || ng), 1, 15))::BIGINT) AS h{i}"
+    for i in range(N_HASHES)
 )
 _band_selects = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, md5(h{b * BAND_ROWS} || '|' || h{b * BAND_ROWS + 1}) AS key FROM sig"
+    f"SELECT doc_id, {b} AS band, "
+    f"md5(h{b * BAND_ROWS}::VARCHAR || '|' || h{b * BAND_ROWS + 1}::VARCHAR) AS key FROM sig"
     for b in range(N_HASHES // BAND_ROWS)
 )
 ORACLES["minhash_lsh_pairs"] = f"""

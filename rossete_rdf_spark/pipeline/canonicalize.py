@@ -30,11 +30,10 @@ def surface_candidate_pairs(surfaces: DataFrame, col: str = "surface") -> DataFr
     grams = surfaces.select(
         F.col(col).alias("s"), F.explode(_char_ngrams(F.col(col))).alias("g")
     )
+    from ..textops.dedup import minhash64
+
     sig = grams.groupBy("s").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("g")))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
+        *[F.min(minhash64(F.col("g"), i)).alias(f"h{i}") for i in range(N_HASHES)]
     )
     bands = sig.select(
         "s",
