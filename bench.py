@@ -8,7 +8,7 @@
 Env:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     high-parallelism core count (default 32)
-  SPARK_GRAFT_BENCH_PAGES  synthetic page count for the KG job (default 15000)
+  SPARK_GRAFT_BENCH_PAGES  synthetic page count for the KG job (default 8000)
   SPARK_GRAFT_SKIP_SCALING set to skip the two-parallelism run
 """
 
@@ -105,7 +105,7 @@ def kg_job(spark, n_pages: int, partitions: int, min_words: int = 240,
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "15000"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     t_all = time.time()
