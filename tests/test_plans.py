@@ -1,0 +1,42 @@
+"""Physical-plan quality checks: the optimizations we rely on at 100 TB must
+actually appear in the plans — column pruning to the parquet scan, broadcast
+of small sides, no Python in JVM-only pipelines."""
+
+from rossete_rdf_spark.kgops import kg_entity_link
+from rossete_rdf_spark.relops import tpch_q1_pricing, tpch_q3_shipping
+from rossete_rdf_spark.rmlops import rml_nation_region_graph
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_scan_is_column_pruned(spark):
+    plan = _plan(tpch_q1_pricing(spark, SF))
+    # the lineitem scan must read only the 6 referenced columns, not all 11
+    assert "ReadSchema" in plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_shipdate" not in scan and "l_partkey" not in scan
+    assert "l_quantity" in scan and "l_returnflag" in scan
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = _plan(tpch_q3_shipping(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_entity_link_broadcasts_gazetteer(spark):
+    plan = _plan(kg_entity_link(spark, SF))
+    assert "BroadcastExchange" in plan
+
+
+def test_rml_graph_plan_has_no_python(spark):
+    # the whole RML materialization must stay JVM-side: no Python UDF nodes
+    plan = _plan(rml_nation_region_graph(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # AQE owns the plan (runtime re-plan + skew handling enabled)
+    assert "AdaptiveSparkPlan" in plan
