@@ -7,12 +7,21 @@ batch face of the web-pipeline stages in pipeline/):
 
 These are the same shapes the web pipeline runs over (url, warc_ts, html,
 text, lang) pages; here they run over the synthetic documents table so the
-driver can oracle-check them in DuckDB."""
+driver can oracle-check them in DuckDB.
+
+Scan discipline (the 100 TB concern): `kg_doc_triples` reads `documents`
+exactly twice — one column-pruned scan of the metadata columns (doc_id, lang,
+n_chars, source) expanded to four triples per row via a single array+explode
+(the same single-pass pattern as rml/compiler.py), and one scan of (doc_id,
+text) for the mention chain. The gazetteer is derived from the mention
+aggregate itself with a window over the mention shuffle key — no second
+tokenization pass and no join."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .textops.common import words_col
 
@@ -42,75 +51,91 @@ def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mentions_from(_docs(spark, sf_dir))
 
 
+def linked_mentions_from(docs: DataFrame) -> DataFrame:
+    """Mention rows whose term clears the gazetteer bar, plus n_docs.
+
+    Because mentions_from is already one row per (doc_id, mention), the
+    per-term distinct-doc count is a plain count() window over mention — the
+    gazetteer filter costs one extra shuffle on the term key and NO second
+    scan/join (the old shape recomputed the whole mention aggregate to build
+    the dictionary, then joined it back)."""
+    m = mentions_from(docs)
+    w = Window.partitionBy("mention")
+    return m.withColumn("n_docs", F.count(F.lit(1)).over(w)).filter(
+        F.col("n_docs") >= MIN_ENTITY_DOCS
+    )
+
+
 def entity_dictionary(docs: DataFrame) -> DataFrame:
     """Corpus-derived gazetteer: (entity=mention term, n_docs). At web scale
-    the dictionary side is small -> broadcast into the link join."""
-    m = mentions_from(docs)
+    the dictionary side is small -> broadcast into downstream link joins."""
     return (
-        m.groupBy("mention")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= MIN_ENTITY_DOCS)
+        linked_mentions_from(docs)
         .select(F.col("mention").alias("entity"), "n_docs")
+        .distinct()
     )
 
 
 def kg_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, mention, entity_iri, n_occurrences) — mention rows whose term
-    is in the corpus gazetteer; the dictionary is broadcast."""
-    docs = _docs(spark, sf_dir)
-    m = mentions_from(docs)
-    d = entity_dictionary(docs)
-    return (
-        m.join(F.broadcast(d), m["mention"] == d["entity"])
-        .select(
-            "doc_id",
-            "mention",
-            F.concat(F.lit(ENTITY_NS), F.col("mention")).alias("entity_iri"),
-            "n_occurrences",
-        )
+    is in the corpus gazetteer."""
+    return linked_mentions_from(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "mention",
+        F.concat(F.lit(ENTITY_NS), F.col("mention")).alias("entity_iri"),
+        "n_occurrences",
     )
 
 
 def kg_doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RML-style (subj, pred, obj) triples for documents:
     rdf:type, lang + n_chars literals (always-typed, reference semantics),
-    source IRI, and one `mentions` edge per linked entity."""
+    source IRI, and one `mentions` edge per linked entity.
+
+    The four per-document triples come from ONE metadata scan via
+    array+explode (cf. rml/compiler.py single-pass pattern); the mention
+    edges reuse the shared mention aggregate."""
     docs = _docs(spark, sf_dir)
     subj = F.concat(F.lit(f"<{DOC_NS}"), F.col("doc_id"), F.lit(">"))
     xsd_string = "<http://www.w3.org/2001/XMLSchema#string>"
     xsd_int = "<http://www.w3.org/2001/XMLSchema#integer>"
     rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 
-    t_type = docs.select(
-        subj.alias("subj"),
-        F.lit(rdf_type).alias("pred"),
-        F.lit(f"<{ONTO}Document>").alias("obj"),
-    )
-    t_lang = docs.select(
-        subj.alias("subj"),
-        F.lit(f"<{ONTO}lang>").alias("pred"),
-        F.concat(F.lit('"'), F.col("lang"), F.lit(f'"^^{xsd_string}')).alias("obj"),
-    )
-    t_len = docs.select(
-        subj.alias("subj"),
-        F.lit(f"<{ONTO}nChars>").alias("pred"),
-        F.concat(F.lit('"'), F.col("n_chars"), F.lit(f'"^^{xsd_int}')).alias("obj"),
-    )
-    t_src = docs.select(
-        subj.alias("subj"),
-        F.lit(f"<{ONTO}source>").alias("pred"),
-        F.concat(F.lit("<http://kg.example.com/source/"), F.col("source"), F.lit(">")).alias(
-            "obj"
-        ),
-    )
-    linked = kg_entity_link(spark, sf_dir)
-    t_ment = linked.select(
-        F.concat(F.lit(f"<{DOC_NS}"), F.col("doc_id"), F.lit(">")).alias("subj"),
-        F.lit(f"<{ONTO}mentions>").alias("pred"),
-        F.concat(F.lit("<"), F.col("entity_iri"), F.lit(">")).alias("obj"),
-    ).distinct()
+    def po(pred, obj):
+        return F.struct(pred.alias("pred"), obj.alias("obj"))
 
-    out = t_type
-    for t in (t_lang, t_len, t_src, t_ment):
-        out = out.unionByName(t)
-    return out
+    per_doc = docs.select(
+        subj.alias("subj"),
+        F.explode(
+            F.array(
+                po(F.lit(rdf_type), F.lit(f"<{ONTO}Document>")),
+                po(
+                    F.lit(f"<{ONTO}lang>"),
+                    F.concat(F.lit('"'), F.col("lang"), F.lit(f'"^^{xsd_string}')),
+                ),
+                po(
+                    F.lit(f"<{ONTO}nChars>"),
+                    F.concat(F.lit('"'), F.col("n_chars"), F.lit(f'"^^{xsd_int}')),
+                ),
+                po(
+                    F.lit(f"<{ONTO}source>"),
+                    F.concat(
+                        F.lit("<http://kg.example.com/source/"),
+                        F.col("source"),
+                        F.lit(">"),
+                    ),
+                ),
+            )
+        ).alias("t"),
+    ).select("subj", F.col("t.pred").alias("pred"), F.col("t.obj").alias("obj"))
+
+    t_ment = (
+        linked_mentions_from(docs)
+        .select(
+            F.concat(F.lit(f"<{DOC_NS}"), F.col("doc_id"), F.lit(">")).alias("subj"),
+            F.lit(f"<{ONTO}mentions>").alias("pred"),
+            F.concat(F.lit(f"<{ENTITY_NS}"), F.col("mention"), F.lit(">")).alias("obj"),
+        )
+        .distinct()
+    )
+    return per_doc.unionByName(t_ment)

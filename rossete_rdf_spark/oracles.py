@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from .kgops import DOC_NS, ENTITY_NS, MIN_ENTITY_DOCS, MIN_MENTION_LEN, ONTO
 from .textops.common import sql_ngrams, sql_words
-from .textops.dedup import BAND_ROWS, N_HASHES, SIMHASH_BITS
+from .textops.dedup import BAND_ROWS, N_HASHES, NGRAM_MAX_DF, SIMHASH_BITS
 from .textops.quality import LANG_MARKERS, LANG_ORDER, TOKEN_RE
 
 RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
@@ -35,7 +35,10 @@ SELECT doc_id, {_FP} AS fingerprint FROM documents
 """
 
 ORACLES["ngram_jaccard_pairs"] = f"""
-WITH g AS (SELECT doc_id, unnest({_NGRAMS}) AS ng FROM documents),
+WITH g0 AS (SELECT doc_id, unnest({_NGRAMS}) AS ng FROM documents),
+g AS (SELECT doc_id, ng FROM
+        (SELECT doc_id, ng, count(*) OVER (PARTITION BY ng) AS df FROM g0)
+      WHERE df <= {NGRAM_MAX_DF}),
 sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

@@ -2,7 +2,7 @@
 actually appear in the plans — column pruning to the parquet scan, broadcast
 of small sides, no Python in JVM-only pipelines."""
 
-from rossete_rdf_spark.kgops import kg_entity_link
+from rossete_rdf_spark.kgops import kg_doc_triples, kg_entity_link
 from rossete_rdf_spark.relops import tpch_q1_pricing, tpch_q3_shipping
 from rossete_rdf_spark.rmlops import rml_nation_region_graph
 
@@ -29,9 +29,23 @@ def test_q3_broadcasts_customer(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_entity_link_broadcasts_gazetteer(spark):
+def test_entity_link_single_scan_no_join(spark):
+    # gazetteer filter is a window over the mention shuffle: one documents
+    # scan, zero joins (the old shape re-tokenized the corpus and joined)
     plan = _plan(kg_entity_link(spark, SF))
-    assert "BroadcastExchange" in plan
+    assert plan.count("ReadSchema") == 1
+    assert "Join" not in plan
+
+
+def test_doc_triples_two_pruned_scans(spark):
+    # one metadata scan (array+explode of 4 triples/row) + one text scan for
+    # the mention chain; the old shape scanned documents 4+ times
+    plan = _plan(kg_doc_triples(spark, SF))
+    assert plan.count("ReadSchema") == 2
+    meta_scans = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "text" not in ln
+    ]
+    assert meta_scans, "expected a metadata scan that prunes the text column"
 
 
 def test_rml_graph_plan_has_no_python(spark):
