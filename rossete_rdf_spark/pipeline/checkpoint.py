@@ -11,7 +11,6 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 class CheckpointManager:
@@ -52,13 +51,11 @@ class CheckpointManager:
         df = build()
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
-        # per-partition lineage counters from the files actually written
-        per_file = (
-            out.groupBy(F.input_file_name().alias("file"))
-            .count()
-            .collect()
-        )
-        lineage = {os.path.basename(r["file"]): r["count"] for r in per_file}
+        # Per-partition lineage counters from the parquet FOOTERS of the files
+        # just written — metadata-only driver-side reads (KBs per file), not a
+        # second full scan of the snapshot (the old shape re-read the whole
+        # stage output to groupBy input_file_name, doubling stage read I/O).
+        lineage = self._footer_counts(path)
         self.manifest["stages"][name] = {
             "path": path,
             "rows": int(sum(lineage.values())),
@@ -69,6 +66,17 @@ class CheckpointManager:
         }
         self._save()
         return out
+
+    @staticmethod
+    def _footer_counts(path: str) -> dict[str, int]:
+        import pyarrow.parquet as pq
+
+        counts: dict[str, int] = {}
+        for fn in sorted(os.listdir(path)):
+            if fn.startswith(("_", ".")) or not fn.endswith(".parquet"):
+                continue
+            counts[fn] = pq.read_metadata(os.path.join(path, fn)).num_rows
+        return counts
 
     def stage_metrics(self) -> dict:
         return self.manifest["stages"]

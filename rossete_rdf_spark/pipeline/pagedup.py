@@ -13,10 +13,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph.cc import connected_components
+from ..textops.common import ngrams_col
 from ..textops.dedup import minhash_lsh_pairs, normalized_fingerprint
 
 MAX_BUCKET = 50  # LSH band buckets bigger than this are non-discriminative
 MIN_BANDS = 2  # near-dup candidates must collide in >= 2 of 4 bands
+NEAR_DUP_JACCARD = 0.5  # exact-verify bar: candidates below this are dropped
 
 
 def duplicate_edges(pages_text: DataFrame) -> DataFrame:
@@ -30,12 +32,26 @@ def duplicate_edges(pages_text: DataFrame) -> DataFrame:
         .filter(F.col("url") != F.col("dst"))
         .select(F.col("url").alias("src"), F.col("dst"))
     )
-    near = (
+    cands = (
         minhash_lsh_pairs(
             pages_text, id_col="url", text_col="text", max_bucket=MAX_BUCKET
         )
         .filter(F.col("n_bands") >= MIN_BANDS)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    # Exact-Jaccard verification before CC (mirrors canonicalize.verified_pairs):
+    # a false-positive band collision would otherwise permanently and silently
+    # drop a distinct page from the corpus. Verification joins texts back onto
+    # the (rare) candidate pairs only — linear in #candidates, never all-pairs.
+    grams = pages_text.select("url", ngrams_col(F.col("text")).alias("g"))
+    jac = F.size(F.array_intersect(F.col("ga"), F.col("gb"))) / F.size(
+        F.array_union(F.col("ga"), F.col("gb"))
+    )
+    near = (
+        cands.join(grams.select(F.col("url").alias("src"), F.col("g").alias("ga")), "src")
+        .join(grams.select(F.col("url").alias("dst"), F.col("g").alias("gb")), "dst")
+        .filter(jac >= NEAR_DUP_JACCARD)
+        .select("src", "dst")
     )
     return exact.unionByName(near)
 

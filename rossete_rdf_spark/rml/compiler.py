@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .ast import JoinObject, ObjectTerm, TriplesMap
+from .config import EngineConfig
 from .sources import RID, colmap_for, load_logical_source, sanitize
 from .terms import (
     RDF_TYPE,
@@ -57,6 +58,7 @@ def materialize_map(
     spark: SparkSession,
     tmap: TriplesMap,
     maps_by_name: dict[str, TriplesMap],
+    config: EngineConfig | None = None,
 ) -> DataFrame:
     """One TriplesMap -> DataFrame(subj, pred, obj, graph)."""
     own_fields = tmap.referenced_fields()
@@ -77,7 +79,7 @@ def materialize_map(
 
     all_fields = own_fields + extra_fields
     cmap = colmap_for(all_fields)
-    child = load_logical_source(spark, tmap.source, all_fields)
+    child = load_logical_source(spark, tmap.source, all_fields, config=config)
     dedup_keys = [cmap[f] for f in own_fields]
     if dedup_keys:
         child = first_occurrence_dedup(child, dedup_keys)
@@ -125,7 +127,8 @@ def materialize_map(
             else:
                 frames.append(
                     _join_pom_frame(
-                        spark, tmap, pom.object, pred, child, cmap, maps_by_name
+                        spark, tmap, pom.object, pred, child, cmap, maps_by_name,
+                        config=config,
                     )
                 )
 
@@ -161,6 +164,7 @@ def _join_pom_frame(
     child: DataFrame,
     cmap: dict[str, str],
     maps_by_name: dict[str, TriplesMap],
+    config: EngineConfig | None = None,
 ) -> DataFrame:
     """Referencing object map -> (subj, pred, parentIRI) frame.
 
@@ -187,7 +191,7 @@ def _join_pom_frame(
             parent_fields.append(parent_f)
     pmap_cols = {f: "p_" + sanitize(f) for f in parent_fields}
 
-    parent_df = load_logical_source(spark, parent_map.source, parent_fields)
+    parent_df = load_logical_source(spark, parent_map.source, parent_fields, config=config)
     parent_df = parent_df.select(
         *[F.col(sanitize(f)).alias(pmap_cols[f]) for f in parent_fields],
         F.col(RID).alias("__prid"),
@@ -213,10 +217,12 @@ def _join_pom_frame(
     )
 
 
-def materialize_all(spark: SparkSession, maps: list[TriplesMap]) -> DataFrame:
+def materialize_all(
+    spark: SparkSession, maps: list[TriplesMap], config: EngineConfig | None = None
+) -> DataFrame:
     """Union of all TriplesMaps' triples: the full graph as one DataFrame."""
     by_name = {m.name: m for m in maps}
-    frames = [materialize_map(spark, m, by_name) for m in maps]
+    frames = [materialize_map(spark, m, by_name, config=config) for m in maps]
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

@@ -45,13 +45,22 @@ def remove_comments(line: str) -> str:
     """Drop everything after an un-bracketed, un-quoted '#'.
 
     '#' inside <...> (IRIs like <http://x#y> or <#Name>) or "..." survives.
-    (reference: src/parser.rs:111-138)
+    (reference: src/parser.rs:111-138. Deliberate divergence, pinned in
+    tests: the reference does NOT protect '#' inside quoted strings; we do,
+    and we skip backslash-escaped quotes when toggling the in-string state
+    so a value like "a\\"b #c" is not truncated at the '#'.)
     """
     in_iri = False
     in_str = False
     for i, ch in enumerate(line):
         if ch == '"' and not in_iri:
-            in_str = not in_str
+            nbs = 0
+            j = i - 1
+            while j >= 0 and line[j] == "\\":
+                nbs += 1
+                j -= 1
+            if not (in_str and nbs % 2 == 1):
+                in_str = not in_str
         elif ch == "<" and not in_str:
             in_iri = True
         elif ch == ">" and not in_str:
@@ -218,10 +227,15 @@ def _parse_subject_map(pairs: list, map_name: str) -> SubjectMap:
 def _parse_object_map(pairs: list) -> ObjectTerm | JoinObject:
     parent_v = _first(pairs, ":parentTriplesMap")
     if parent_v:
+        # Collect EVERY rr:joinCondition pair — repeated
+        # `rr:joinCondition [..]; rr:joinCondition [..]` entries are the
+        # standard R2RML form for composite join keys; the reference collects
+        # them all and ANDs them (src/materialiser.rs:721-735).
         conds: list[tuple[str, str]] = []
-        jc_v = _first(pairs, ":joinCondition")
-        if jc_v:
-            for blk in jc_v:
+        for k, values in pairs:
+            if not k.lower().endswith(":joincondition"):
+                continue
+            for blk in values:
                 if isinstance(blk, list):
                     child_v = _first(blk, ":child")
                     par_v = _first(blk, ":parent")

@@ -9,6 +9,21 @@ referenced columns; no copy is materialized).
 Returned DataFrames have one sanitized column per referenced field plus
 `__rid`, a monotonically-increasing ingest id that stands in for SQLite's
 rowid for first-occurrence dedup / first-match join ordering.
+
+__rid determinism: monotonically_increasing_id is (partitionId << 33 | row
+offset), so its ORDER depends on how the scan is split. Guarantees:
+  - a source that lands in ONE split (any file under
+    spark.sql.files.maxPartitionBytes, i.e. every RML mapping fixture) gets
+    exact file order — identical to SQLite rowid;
+  - multi-file / multi-split sources get a stable order for a FIXED file
+    layout, but Spark bin-packs splits by size, so the winner of a
+    first-occurrence tie can differ from strict ingest order across layouts.
+    The reference's rowid is absolute; at the 100 TB design point the
+    tie-break among true duplicates is value-irrelevant by construction
+    (duplicate projected tuples are identical in every referenced column),
+    so this only matters for byte-level diffs of text exports, not for graph
+    parity. Parquet sources upgrade to exact per-file order via
+    _metadata.row_index below.
 """
 
 from __future__ import annotations
@@ -20,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .ast import LogicalSource
+from .config import EngineConfig, FileSpec
 
 RID = "__rid"
 
@@ -56,28 +72,104 @@ def _resolve_path(df: DataFrame, path: str):
     return col, cur_type
 
 
+_SEG = re.compile(r"^([^\[\]]*)((?:\[\*\])*)$")
+
+
+def _apply_json_iterator(df: DataFrame, iterator: str) -> DataFrame:
+    """Evaluate a JSONPath-style iterator ($.a.b[*].c[*]...) by navigating
+    struct fields and exploding each array level (reference evaluates real
+    JSONPath per match, src/input.rs:333-392). Supports nested paths, multiple
+    array levels, and arrays without an explicit [*] (auto-exploded — the
+    reference's `$.students` and `$.students[*]` stage the same rows).
+    An absent path yields zero rows (no JSONPath matches)."""
+    path = iterator.strip().lstrip("$").strip(".")
+    if not path:
+        return df
+
+    expr = None
+    dtype: T.DataType = df.schema
+    for seg in path.split("."):
+        m = _SEG.match(seg)
+        name = m.group(1) if m else seg
+        stars = (m.group(2).count("[*]") if m and m.group(2) else 0) or 0
+        if name:
+            if not (isinstance(dtype, T.StructType) and name in dtype.fieldNames()):
+                return df.limit(0)  # no matches
+            expr = F.col(name) if expr is None else expr.getField(name)
+            dtype = dtype[name].dataType
+        # explode once per explicit [*]; also auto-explode a bare array so the
+        # next segment (or field resolution) sees element schema
+        hops = max(stars, 1 if isinstance(dtype, T.ArrayType) else 0)
+        for _ in range(hops):
+            if not isinstance(dtype, T.ArrayType):
+                return df.limit(0)
+            df = df.select(F.explode(expr).alias("_it"))
+            expr = F.col("_it")
+            dtype = dtype.elementType
+
+    if expr is not None:
+        if isinstance(dtype, T.StructType):
+            return df.select(expr.alias("_it")).select("_it.*")
+        # scalar leaf: expose it under the last path segment's name
+        leaf = path.split(".")[-1].replace("[*]", "") or "_it"
+        return df.select(expr.alias(leaf))
+    return df
+
+
 def load_logical_source(
-    spark: SparkSession, source: LogicalSource, fields: list[str]
+    spark: SparkSession,
+    source: LogicalSource,
+    fields: list[str],
+    config: EngineConfig | None = None,
 ) -> DataFrame:
-    """Load `source` projected to `fields` (sanitized names) + __rid."""
+    """Load `source` projected to `fields` (sanitized names) + __rid.
+
+    `config` supplies per-file CSV read options (delimiter / header /
+    encoding) exactly like the reference's files-data config entries
+    (src/config.rs:234-272); defaults match the reference's FileSpecs
+    defaults (',', header, UTF-8 — src/config.rs:325-333)."""
     fmt = source.fmt
     cmap = colmap_for(fields)
+    spec = config.spec_for(source.source) if config else None
+    if spec and spec.file_type:
+        ft = spec.file_type.lower()
+        if ft in ("csv", "tsv", "json", "xml", "parquet"):
+            fmt = ft
 
     if fmt in ("csv", "tsv"):
-        delim = "\t" if fmt == "tsv" else ","
+        spec = spec or FileSpec(delimiter="\t" if fmt == "tsv" else ",")
+        delim = spec.delimiter if spec.delimiter else ("\t" if fmt == "tsv" else ",")
+        if fmt == "tsv" and spec.delimiter == ",":
+            delim = "\t"  # per-type default wins unless explicitly configured
         df = (
-            spark.read.option("header", "true")
+            spark.read.option("header", "true" if spec.header else "false")
             .option("delimiter", delim)
+            .option("encoding", spec.encoding)
             .option("inferSchema", "false")
             .csv(source.source)
         )
-        missing = [f for f in fields if f not in df.columns]
+        if not spec.header:
+            # headerless files address columns positionally: field "0"/"_c0"
+            # -> Spark's _c0 (extension; the reference requires headers to
+            # address fields by name, src/input.rs:276-295)
+            rename = {}
+            for f in fields:
+                if f in df.columns:
+                    continue
+                if f.isdigit() and f"_c{int(f)}" in df.columns:
+                    rename[f] = f"_c{int(f)}"
+            missing = [f for f in fields if f not in df.columns and f not in rename]
+        else:
+            rename = {}
+            missing = [f for f in fields if f not in df.columns]
         if missing:
             # a CSV row/file missing a requested column is a hard error in the
             # reference (src/input.rs:286-294)
             raise KeyError(f"CSV {source.source} lacks columns {missing}")
         cols = [
-            F.coalesce(F.col(f"`{f}`").cast("string"), F.lit("")).alias(cmap[f])
+            F.coalesce(F.col(f"`{rename.get(f, f)}`").cast("string"), F.lit("")).alias(
+                cmap[f]
+            )
             for f in fields
         ]
         return df.select(*cols).withColumn(RID, F.monotonically_increasing_id())
@@ -86,10 +178,7 @@ def load_logical_source(
         df = spark.read.option("multiLine", "true").json(source.source)
         it = (source.iterator or "$").strip()
         if it not in ("$", ""):
-            # iterator like $.items[*] / $.items — explode the array at the path
-            path = it.lstrip("$").strip(".").replace("[*]", "")
-            df = df.select(F.explode(F.col(path)).alias("_it"))
-            df = df.select("_it.*")
+            df = _apply_json_iterator(df, it)
         cols = []
         for f in fields:
             col, dtype = _resolve_path(df, f)
@@ -109,9 +198,10 @@ def load_logical_source(
         return spark.createDataFrame([], schema)
 
     if fmt in ("parquet", "table"):
+        is_parquet = fmt == "parquet" or source.source.endswith(".parquet")
         df = (
             spark.read.parquet(source.source)
-            if fmt == "parquet" or source.source.endswith(".parquet")
+            if is_parquet
             else spark.table(source.source)
         )
         cols = []
@@ -120,6 +210,15 @@ def load_logical_source(
             if col is None:
                 raise KeyError(f"source {source.source} lacks column {f}")
             cols.append(_string_or_empty(col, dtype).alias(cmap[f]))
+        if is_parquet:
+            # exact, split-invariant ingest order: (file, row-in-file) via the
+            # parquet _metadata columns — cross-cluster-stable rowid semantics.
+            # file key = 22-bit hash bucket (deterministic; a bucket collision
+            # merely ties two files' ordering, still layout-independent),
+            # shifted clear of the 40-bit row index — bitwise, ANSI-overflow-safe
+            file_key = F.pmod(F.xxhash64(F.col("_metadata.file_path")), F.lit(1 << 22))
+            rid = F.shiftleft(file_key.cast("long"), 40) + F.col("_metadata.row_index")
+            return df.select(*cols, rid.alias(RID))
         return df.select(*cols).withColumn(RID, F.monotonically_increasing_id())
 
     raise ValueError(f"unsupported source format: {fmt}")

@@ -17,17 +17,22 @@ def _pred_out() -> F.Column:
     return F.when(F.col("pred") == RDF_TYPE, F.lit("a")).otherwise(F.col("pred"))
 
 
-def nt_lines(triples: DataFrame) -> DataFrame:
-    """(subj,pred,obj[,graph]) -> one `s p o .` line per triple."""
+def nt_lines(triples: DataFrame, strict: bool = False) -> DataFrame:
+    """(subj,pred,obj[,graph]) -> one `s p o .` line per triple.
+
+    Default (strict=False) keeps the reference's quirk of emitting the Turtle
+    `a` shorthand for rdf:type even in .nt output (output.nt:1; NT writer
+    src/materialiser.rs:175-179) — byte-parity with the reference, but NOT
+    valid N-Triples. strict=True emits the full rdf:type IRI so standard NT
+    parsers/loaders accept the files."""
+    pred = F.col("pred") if strict else _pred_out()
     return triples.select(
-        F.format_string("%s %s %s .", F.col("subj"), _pred_out(), F.col("obj")).alias(
-            "value"
-        )
+        F.format_string("%s %s %s .", F.col("subj"), pred, F.col("obj")).alias("value")
     )
 
 
-def write_nt(triples: DataFrame, path: str) -> None:
-    nt_lines(triples).write.mode("overwrite").text(path)
+def write_nt(triples: DataFrame, path: str, strict: bool = False) -> None:
+    nt_lines(triples, strict=strict).write.mode("overwrite").text(path)
 
 
 def ttl_lines(triples: DataFrame) -> DataFrame:
@@ -48,8 +53,18 @@ def ttl_lines(triples: DataFrame) -> DataFrame:
     )
 
 
-def write_ttl(triples: DataFrame, path: str) -> None:
+def write_ttl(triples: DataFrame, path: str, prefixes: dict[str, str] | None = None) -> None:
+    """The reference's own TTL exemplars carry no @prefix headers
+    (output.ttl:1 starts directly with triples), so none are emitted by
+    default; pass `prefixes` to add a driver-side header file that sorts
+    before the part files (`cat path/*` reads header first)."""
     ttl_lines(triples).write.mode("overwrite").text(path)
+    if prefixes:
+        import os
+
+        lines = [f"@prefix {k} <{v}> ." for k, v in sorted(prefixes.items()) if k]
+        with open(os.path.join(path, "00000_prefixes.ttl"), "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
 
 
 def write_quad_table(triples: DataFrame, path: str, buckets: int = 0) -> None:

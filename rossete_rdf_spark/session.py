@@ -48,6 +48,10 @@ def get_spark(
         # All Python stages are Arrow-vectorized.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # full java.nio charset set for CSV sources — the RML reference
+        # supports ~40 WHATWG encodings (reference src/config.rs:378-425);
+        # Spark 4 gates non-UTF charsets behind this flag
+        .config("spark.sql.legacy.javaCharsets", "true")
         .config("spark.ui.enabled", "false")
         # driver memory itself is injected pre-JVM by _ensure_driver_memory
         .config("spark.memory.fraction", "0.7")

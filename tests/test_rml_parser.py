@@ -105,3 +105,36 @@ def test_reference_examples_parse(reference_dir):
     assert by["TransportMapping"].source.fmt == "xml"
     # map4 declares no prefixes -> ex: must be unresolved for TriplesMap1
     assert "ex:" not in by["TriplesMap1"].prefixes
+
+
+def test_multi_join_condition_composite_key():
+    # repeated rr:joinCondition blocks = composite join key; the reference
+    # collects every pair and ANDs them (src/materialiser.rs:721-735)
+    text = """
+<#C> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "a.csv" ];
+  rr:subjectMap [ rr:template "http://s/{x}" ];
+  rr:predicateObjectMap [
+    rr:predicate ex:link;
+    rr:objectMap [
+      rr:parentTriplesMap <#P>;
+      rr:joinCondition [ rr:child "x1"; rr:parent "p1" ];
+      rr:joinCondition [ rr:child "x2"; rr:parent "p2" ];
+    ];
+  ].
+<#P> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "b.csv" ];
+  rr:subjectMap [ rr:template "http://t/{p1}" ].
+"""
+    maps = parse_mapping_text(text)
+    j = maps[0].poms[0].object
+    assert isinstance(j, JoinObject)
+    assert j.conditions == (("x1", "p1"), ("x2", "p2"))
+
+
+def test_remove_comments_escaped_quote():
+    # a backslash-escaped quote inside a string must not toggle string state:
+    # the '#' is still inside the quoted value and survives
+    assert remove_comments('p "a\\"b #c" # tail') == 'p "a\\"b #c" '
+    # escaped backslash before the closing quote: quote DOES close the string
+    assert remove_comments('p "a\\\\" # tail') == 'p "a\\\\" '

@@ -1,0 +1,152 @@
+"""Round-2 source features: CSV read options (delimiter/encoding/header via
+config, reference src/config.rs:234-272,364-425), general JSONPath iterators
+(reference src/input.rs:333-392), and the CLI front-end
+(reference src/main.rs:29-114)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+from rossete_rdf_spark.rml.ast import LogicalSource
+from rossete_rdf_spark.rml.config import EngineConfig, FileSpec, config_from_json
+from rossete_rdf_spark.rml.sources import load_logical_source, sanitize
+
+
+def _spec_cfg(path, **kw):
+    return EngineConfig(file_specs={str(path): FileSpec(**kw)})
+
+
+def test_csv_semicolon_delimiter(spark, tmp_path):
+    p = tmp_path / "semi.csv"
+    p.write_text("x;y\n1;2\n3;4\n")
+    src = LogicalSource(source=str(p), fmt="csv")
+    df = load_logical_source(spark, src, ["y"], config=_spec_cfg(p, delimiter=";"))
+    assert sorted(r[sanitize("y")] for r in df.collect()) == ["2", "4"]
+
+
+def test_csv_windows1252_encoding(spark, tmp_path):
+    p = tmp_path / "w1252.csv"
+    # 0xE9 = 'é' in windows-1252 (invalid as UTF-8 lead byte)
+    p.write_bytes("name;city\ncaf\xe9;M\xe1laga\n".encode("windows-1252"))
+    src = LogicalSource(source=str(p), fmt="csv")
+    cfg = _spec_cfg(p, delimiter=";", encoding="WINDOWS-1252")
+    df = load_logical_source(spark, src, ["name", "city"], config=cfg)
+    r = df.collect()[0]
+    assert r[sanitize("name")] == "caf\xe9"
+    assert r[sanitize("city")] == "M\xe1laga"
+
+
+def test_csv_headerless_positional_fields(spark, tmp_path):
+    p = tmp_path / "nohdr.csv"
+    p.write_text("a,b\nc,d\n")
+    src = LogicalSource(source=str(p), fmt="csv")
+    df = load_logical_source(spark, src, ["0", "1"], config=_spec_cfg(p, header=False))
+    rows = sorted((r[sanitize("0")], r[sanitize("1")]) for r in df.collect())
+    assert rows == [("a", "b"), ("c", "d")]
+
+
+def test_config_from_json_matches_reference_keys():
+    cfg = config_from_json(
+        {
+            "files-data": [
+                {"path": "./d/f.csv", "delimiter": ";", "header": False,
+                 "encoding": "windows-1252", "file-type": "csv"},
+            ],
+            "threads": {"reading": 3},  # accepted, ignored (Spark scheduler)
+            "max-memory-usage": 100,  # accepted, ignored (Tungsten spill)
+            "output-format": "TTL",
+        },
+        base_dir="/base",
+    )
+    spec = cfg.spec_for("/base/d/f.csv")
+    assert spec == FileSpec(delimiter=";", header=False,
+                            encoding="WINDOWS-1252", file_type="csv")
+    assert cfg.output_format == "ttl"
+
+
+def test_json_nested_iterator(spark, tmp_path):
+    p = tmp_path / "nested.json"
+    p.write_text(json.dumps({
+        "a": {"b": [
+            {"c": [{"k": "x1"}, {"k": "x2"}], "junk": 1},
+            {"c": [{"k": "y1"}]},
+        ]}
+    }))
+    src = LogicalSource(source=str(p), fmt="json", iterator="$.a.b[*].c[*]")
+    df = load_logical_source(spark, src, ["k"])
+    assert sorted(r[sanitize("k")] for r in df.collect()) == ["x1", "x2", "y1"]
+
+
+def test_json_bare_array_segment_auto_explodes(spark, tmp_path):
+    # reference treats $.students and $.students[*] identically
+    p = tmp_path / "bare.json"
+    p.write_text(json.dumps({"students": [{"n": "a"}, {"n": "b"}]}))
+    src = LogicalSource(source=str(p), fmt="json", iterator="$.students")
+    df = load_logical_source(spark, src, ["n"])
+    assert sorted(r[sanitize("n")] for r in df.collect()) == ["a", "b"]
+
+
+def test_json_absent_iterator_yields_zero_rows(spark, tmp_path):
+    p = tmp_path / "none.json"
+    p.write_text(json.dumps({"a": 1}))
+    src = LogicalSource(source=str(p), fmt="json", iterator="$.missing[*]")
+    df = load_logical_source(spark, src, ["k"])
+    assert df.count() == 0
+
+
+def test_cli_reproduces_golden_fixture(tmp_path, reference_dir):
+    """python -m rossete_rdf_spark over the reference's example mappings must
+    reproduce the ex_out.ttl triple set (format by extension: .nt)."""
+    out = tmp_path / "out.nt"
+    r = subprocess.run(
+        [sys.executable, "-m", "rossete_rdf_spark",
+         "--mappings", f"{reference_dir}/examples/mappings",
+         "--output", str(out), "--master", "local[2]",
+         "--base-dir", str(reference_dir)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    from rossete_rdf_spark.rml.compare import parse_graph_text, precision_recall
+
+    got = parse_graph_text(out.read_text())
+    with open(f"{reference_dir}/ex_out.ttl", encoding="utf-8") as f:
+        expected = parse_graph_text(f.read())
+    p, rec, extra, missing = precision_recall(got, expected)
+    assert p == 1.0 and rec == 1.0, (extra, missing)
+
+
+def test_composite_join_condition_materializes(spark, tmp_path):
+    """Two joinCondition pairs must AND: with only the first condition the
+    child would match BOTH parents; the composite key selects exactly one."""
+    (tmp_path / "c.csv").write_text("x,a,b\n7,k1,k2\n")
+    (tmp_path / "p.csv").write_text("pa,pb,pid\nk1,zz,BAD\nk1,k2,GOOD\n")
+    text = f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#>.
+@prefix rml: <http://semweb.mmlab.be/ns/rml#>.
+<#C> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/c.csv" ];
+  rr:subjectMap [ rr:template "http://s/{{x}}" ];
+  rr:predicateObjectMap [
+    rr:predicate <http://p/link>;
+    rr:objectMap [
+      rr:parentTriplesMap <#P>;
+      rr:joinCondition [ rr:child "a"; rr:parent "pa" ];
+      rr:joinCondition [ rr:child "b"; rr:parent "pb" ];
+    ];
+  ].
+<#P> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{tmp_path}/p.csv" ];
+  rr:subjectMap [ rr:template "http://t/{{pid}}" ].
+"""
+    from rossete_rdf_spark.rml.compiler import materialize_all
+    from rossete_rdf_spark.rml.parser import parse_mapping_text
+
+    maps = parse_mapping_text(text)
+    rows = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in materialize_all(spark, maps).collect()
+        if r["pred"] == "<http://p/link>"
+    }
+    assert rows == {("<http://s/7>", "<http://p/link>", "<http://t/GOOD>")}
