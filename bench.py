@@ -33,23 +33,9 @@ from rossete_rdf_spark.pipeline.webpages import synth_pages  # noqa: E402
 from rossete_rdf_spark.registry import QUERIES  # noqa: E402
 from rossete_rdf_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
-    "tpch_q1_pricing",
-    "tpch_q3_shipping",
-    "rml_nation_region_graph",
-    "rml_subject_space_discard",
-    "exact_dedup",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "simhash",
-    "token_count",
-    "lang_id",
-    "ann_cosine_topk",
-    "kg_mentions",
-    "kg_doc_triples",
-    "events_sessionize",
-    "rel_first_match_join",
-]
+# Every driver-contract query is timed — a regression in ANY of them is
+# visible per round.
+HEADLINE = list(QUERIES)
 
 
 def _force(df) -> None:
@@ -131,18 +117,17 @@ def main() -> None:
     # behavior behind this split):
     # 1. kg_pipeline: one throughput run of the full KG job (pandas-UDF
     #    extraction + LSH page dedup + linking + CC + triples) at local[8].
-    # 2. scaling: the N -> 4N comparison (local[2] vs local[8]) runs the
-    #    engine's JVM materialization core (window dedup + first-match join
-    #    + IRI minting over 8M rows) — the component whose throughput
-    #    determines 100 TB feasibility. The full KG job is excluded from the
-    #    repeated-runs comparison because this sandbox VM shows up to 6x
-    #    run-to-run variance on pandas-UDF/shuffle-heavy stages, which
+    # 2. scaling: the N -> 4N comparison (local[1] vs local[4] — this VM
+    #    inverts allocation/shuffle-heavy Spark stages at >=8 JVM threads)
+    #    runs the engine's JVM materialization core (min_by dedup +
+    #    first-match join + multi-predicate explode + minting) — the
+    #    component whose throughput determines 100 TB feasibility. The full
+    #    KG job is excluded from the repeated-runs comparison because the
+    #    VM shows up to 6x run-to-run variance on pandas-UDF stages, which
     #    swamps the scaling signal inside the bench time budget.
-    from rossete_rdf_spark.rml.matjob import rml_materialize_job
-
-    hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", min(cpus, 8)))
+    hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", min(cpus, 4)))
     lo = max(hi // 4, 1)
-    mat_rows = int(os.environ.get("SPARK_GRAFT_MAT_ROWS", "30000000"))
+    mat_rows = int(os.environ.get("SPARK_GRAFT_MAT_ROWS", "40000000"))
 
     s8 = get_spark(f"bench-kg-{hi}", master=f"local[{hi}]", shuffle_partitions=32)
     kg_job(s8, 1000, partitions=32, min_words=16, word_spread=24)  # warm-up
@@ -160,39 +145,50 @@ def main() -> None:
         "pages_per_sec": round(n_pages / hi_sec, 1),
     }
 
+    s8.stop()
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-        def timed_mat(sess, cores: int) -> float:
-            """min of 2 reps: this VM has multi-minute slow phases (3-6x on
-            identical plans); the min is the robust per-level estimate."""
-            rml_materialize_job(sess, 500_000, 32)  # warm
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                rml_materialize_job(sess, mat_rows, 32)
-                best = min(best, time.time() - t0)
-            print(f"[bench] mat@{cores}: {best:.1f}s", file=sys.stderr, flush=True)
-            return best
+        # N -> 4N protocol (see BENCH.md "Scaling protocol"): each rep is an
+        # ISOLATED process (scripts/matbench.py: fresh JVM, own warm-up, one
+        # timed run), reps of the two levels are INTERLEAVED so a VM slow
+        # phase (3-6x multi-minute drifts on identical plans) cannot bias one
+        # level, and the per-level estimate is the MEDIAN of >=3 reps. Per-rep
+        # times ship in the JSON so the estimate is auditable.
+        import statistics
+        import subprocess
 
-        mat_hi = timed_mat(s8, hi)
-        s8.stop()
-        s2 = get_spark(f"bench-mat-{lo}", master=f"local[{lo}]", shuffle_partitions=32)
-        mat_lo = timed_mat(s2, lo)
-        s2.stop()
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+        here = os.path.dirname(os.path.abspath(__file__))
+        secs: dict[int, list[float]] = {lo: [], hi: []}
+        for rep in range(reps):
+            for cores in (lo, hi):
+                out = subprocess.run(
+                    [sys.executable, os.path.join(here, "scripts", "matbench.py"),
+                     str(cores), str(mat_rows)],
+                    capture_output=True, text=True, timeout=1800,
+                )
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                secs[cores].append(r["sec"])
+                print(f"[bench] mat@{cores} rep{rep}: {r['sec']}s",
+                      file=sys.stderr, flush=True)
 
+        mat_lo = statistics.median(secs[lo])
+        mat_hi = statistics.median(secs[hi])
         thr_lo, thr_hi = mat_rows / mat_lo, mat_rows / mat_hi
         result["scaling"] = {
-            "workload": f"rml_materialize_job({mat_rows} rows: window dedup + "
-                        "first-match join + IRI minting)",
+            "workload": f"rml_materialize_job({mat_rows} rows: min_by dedup + "
+                        "first-match join + multi-predicate explode + minting)",
+            "protocol": f"median of {reps} interleaved single-run processes "
+                        "per level, warm-up per process",
             "cores_low": lo,
             "cores_high": hi,
             "sec_low": round(mat_lo, 3),
             "sec_high": round(mat_hi, 3),
+            "reps_low_sec": secs[lo],
+            "reps_high_sec": secs[hi],
             "rows_per_sec_low": round(thr_lo, 1),
             "rows_per_sec_high": round(thr_hi, 1),
             "efficiency": round(thr_hi / (thr_lo * (hi / lo)), 3),
         }
-    else:
-        s8.stop()
 
     result["value"] = round(time.time() - t_all, 3)
     print(json.dumps(result))

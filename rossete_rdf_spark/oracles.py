@@ -9,6 +9,7 @@ embeddings."""
 from __future__ import annotations
 
 from .kgops import DOC_NS, ENTITY_NS, MIN_ENTITY_DOCS, MIN_MENTION_LEN, ONTO
+from .textops.ann import EMB_NEARDUP_THRESHOLD
 from .textops.common import sql_ngrams, sql_words
 from .textops.dedup import BAND_ROWS, N_HASHES, NGRAM_MAX_DF, SIMHASH_BITS
 from .textops.quality import LANG_MARKERS, LANG_ORDER, TOKEN_RE
@@ -308,4 +309,80 @@ SELECT subj, '<http://ex.org/seeAlso>' AS pred, '<http://example.org/static>' AS
 UNION ALL SELECT subj, '<http://ex.org/kind>',
                  '"http://ex.org/RegionKind"^^{XSD_STRING}' FROM s
 UNION ALL SELECT subj, 'missing:pred', '"' || r_name || '"^^{XSD_STRING}' FROM s
+"""
+
+# --- round-2 contract additions ---------------------------------------------
+
+# S1: the CSV fixture is derived from the nation parquet (sorted, ';'-delim);
+# the oracle reads the same values straight from the view.
+ORACLES["rml_csv_source"] = f"""
+WITH s AS (SELECT '<http://ex.org/nation/' || n_nationkey::VARCHAR || '>' AS subj,
+                  n_name, n_nationkey FROM nation)
+SELECT subj, '{RDF_TYPE}' AS pred, '<http://ex.org/Nation>' AS obj FROM s
+UNION ALL SELECT subj, '<http://ex.org/name>', '"' || n_name || '"^^{XSD_STRING}' FROM s
+UNION ALL SELECT subj, '<http://ex.org/key>', '"' || n_nationkey::VARCHAR || '"^^{XSD_INT}' FROM s
+"""
+
+# S2: nested-JSON fixture is likewise nation-derived.
+ORACLES["rml_json_iterator"] = f"""
+SELECT '<http://ex.org/nation/' || n_nationkey::VARCHAR || '>' AS subj,
+       '<http://ex.org/name>' AS pred,
+       '"' || n_name || '"^^{XSD_STRING}' AS obj
+FROM nation
+"""
+
+_PRED_OUT = f"CASE WHEN pred = '{RDF_TYPE}' THEN 'a' ELSE pred END"
+
+ORACLES["nt_serialization"] = f"""
+WITH g AS ({ORACLES["rml_nation_region_graph"]})
+SELECT subj || ' ' || {_PRED_OUT} || ' ' || obj || ' .' AS value FROM g
+"""
+
+ORACLES["ttl_serialization"] = f"""
+WITH g AS ({ORACLES["rml_nation_region_graph"]}),
+po AS (SELECT subj, {_PRED_OUT} || ' ' || obj AS po FROM g)
+SELECT subj || ' ' || string_agg(po, ' ;' || chr(10) || chr(9) || chr(9) ORDER BY po)
+       || ' .' AS value
+FROM po GROUP BY subj
+"""
+
+# embedding-cosine near-dup tier: sign-bucket blocking + exact cosine verify
+_EN_BUCKET = " || ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8)
+)
+_EN_COS = (
+    "round("
+    "list_reduce([av[i]::DOUBLE * bv[i]::DOUBLE for i in range(1, len(av)+1)], (x, y) -> x + y)"
+    " / (sqrt(list_reduce([av[i]::DOUBLE * av[i]::DOUBLE for i in range(1, len(av)+1)], (x, y) -> x + y))"
+    " * sqrt(list_reduce([bv[i]::DOUBLE * bv[i]::DOUBLE for i in range(1, len(bv)+1)], (x, y) -> x + y))), 6)"
+)
+ORACLES["embedding_neardup_pairs"] = f"""
+WITH e AS (SELECT vec_id, embedding, {_EN_BUCKET} AS bucket FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS av, b.embedding AS bv
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+scored AS (SELECT id_a, id_b, {_EN_COS} AS cos FROM p)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= {EMB_NEARDUP_THRESHOLD}
+"""
+
+# streaming twin: one availableNow micro-batch == the batch aggregation
+ORACLES["streaming_hourly_agg"] = ORACLES["events_hourly_agg"]
+
+# multimodal plumbing: payload = utf-8 text bytes; feature byte 0 = first
+# md5 digest byte (the mapInPandas stub divides it by 255; the Spark query
+# multiplies back, so both sides compare exact integers)
+ORACLES["multimodal_features"] = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       ('0x' || substr(md5(text), 1, 2))::BIGINT AS f0_byte
+FROM documents
+"""
+
+ORACLES["rml_graph_quads"] = f"""
+SELECT '<http://ex.org/region/' || r_regionkey::VARCHAR || '>' AS subj,
+       '<http://ex.org/name>' AS pred,
+       '"' || r_name || '"^^{XSD_STRING}' AS obj,
+       'http://ex.org/graph/regions' AS graph
+FROM region
 """

@@ -84,3 +84,28 @@ def synth_media(spark, n: int, partitions: int = 8) -> DataFrame:
         payload.alias("payload"),
         meta.alias("meta"),
     )
+
+
+def multimodal_features_query(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: treat each document's text bytes as an opaque
+    media payload, run the REAL mapInPandas feature extraction (Arrow batches,
+    stubbed decode), and project the result to oracle-exact values: byte count
+    plus the first feature recovered as its integer byte (features are
+    md5-byte/255 float32s; *255 + round recovers the byte exactly, so the
+    DuckDB oracle needs no float comparison)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.lit(["image", "audio", "video"]), (F.col("doc_id") % 3 + 1).cast("int")
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("{}").alias("meta"),
+    )
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("features", 1) * 255).cast("long").alias("f0_byte"),
+    )

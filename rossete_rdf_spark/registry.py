@@ -10,10 +10,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import kgops, relops, rmlops
 from .oracles import ORACLES
+from .pipeline.multimodal import multimodal_features_query
+from .streaming.events import streaming_hourly_agg_query
 from .textops import (
     ann_cosine_topk,
     ann_lsh_bucket_topk,
     doc_fingerprint,
+    embedding_neardup_pairs,
     exact_dedup,
     lang_id,
     minhash_lsh_pairs,
@@ -51,9 +54,10 @@ QUERIES: dict[str, QueryFn] = {
     "token_count": _docs_op(token_count),
     "lang_id": _docs_op(lang_id),
     "quality_score": _docs_op(quality_score),
-    # similarity search
+    # similarity search + embedding-tier dedup
     "ann_cosine_topk": _emb_op(ann_cosine_topk),
     "ann_lsh_bucket_topk": _emb_op(ann_lsh_bucket_topk),
+    "embedding_neardup_pairs": _emb_op(embedding_neardup_pairs),
     # KG construction (batch face)
     "kg_mentions": kgops.kg_mentions,
     "kg_entity_link": kgops.kg_entity_link,
@@ -64,11 +68,22 @@ QUERIES: dict[str, QueryFn] = {
     "events_sessionize": relops.events_sessionize,
     "tpch_q1_pricing": relops.tpch_q1_pricing,
     "tpch_q3_shipping": relops.tpch_q3_shipping,
+    # structured streaming (real readStream -> watermark -> memory sink)
+    "streaming_hourly_agg": streaming_hourly_agg_query,
+    # multimodal binary-column plumbing (mapInPandas feature extraction)
+    "multimodal_features": multimodal_features_query,
     # RML engine end-to-end
     "rml_nation_region_graph": rmlops.rml_nation_region_graph,
     "rml_subject_space_discard": rmlops.rml_subject_space_discard,
     "rml_self_join": rmlops.rml_self_join,
     "rml_constant_terms": rmlops.rml_constant_terms,
+    # RML sources (S1 CSV / S2 JSON-iterator) and writers (W1 NT / W2 TTL)
+    "rml_csv_source": rmlops.rml_csv_source,
+    "rml_json_iterator": rmlops.rml_json_iterator,
+    "nt_serialization": rmlops.nt_serialization,
+    "ttl_serialization": rmlops.ttl_serialization,
+    # rr:graphMap -> quad table graph column
+    "rml_graph_quads": rmlops.rml_graph_quads,
 }
 
 

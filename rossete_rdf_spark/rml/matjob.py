@@ -2,19 +2,22 @@
 
 Builds child/parent relations with `spark.range` (fully distributed, no
 external data), then runs the engine's core operators at scale:
-  P2 projected-field dedup (window first-occurrence)
+  P2 projected-field dedup (first-occurrence min_by hash aggregation)
   P3 subject minting (template concat + space-discard)
   J1 referencing-object-map join with first-match parent collapse
+  P4/P5 multi-predicate emit in the compiler's array+explode single pass
   W1 triple assembly
 This is the join/shuffle-dominated heart of graph materialization — the part
 whose throughput determines 100 TB feasibility — expressed with exactly the
-same compiler primitives queries use (first-occurrence window + equi-join)."""
+same compiler primitives the queries use (first_occurrence_dedup + equi-join
++ array/explode term pass)."""
 
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from .compiler import first_occurrence_dedup
 
 
 def rml_materialize_job(
@@ -37,31 +40,37 @@ def rml_materialize_job(
     )
 
     # P2: dedup child on its projected fields, first occurrence by ingest id
-    wc = Window.partitionBy("c_id", "c_ref").orderBy("c_attr")
-    child = (
-        child.withColumn("__rn", F.row_number().over(wc))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    # (the engine's own primitive: min_by hash aggregation, no sort exchange)
+    child = first_occurrence_dedup(child, ["c_id", "c_ref"], order_col="c_attr")
 
     # J1 parent collapse: first row per join key by ingest order
-    wp = Window.partitionBy("p_key").orderBy("p_rid")
-    p1 = (
-        parent.withColumn("__rn", F.row_number().over(wp))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    p1 = first_occurrence_dedup(parent, ["p_key"], order_col="p_rid")
 
     joined = child.join(p1, child["c_ref"] == p1["p_key"], "inner")
 
-    # P3 + W1: mint subject/object IRIs, assemble triples
-    triples = joined.select(
-        F.concat(
-            F.lit("<http://ex.org/child/"), F.col("c_id"), F.lit(">")
-        ).alias("subj"),
-        F.lit("<http://ex.org/ref>").alias("pred"),
-        F.concat(
-            F.lit("<http://ex.org/parent/"), F.col("p_name"), F.lit(">")
-        ).alias("obj"),
-    ).filter(~F.col("subj").contains(" "))
+    # P3-P5 + W1: mint the subject IRI, then emit ALL scalar predicates in
+    # the compiler's single-pass array+explode shape (compiler.py:90-139) —
+    # a class triple, two typed literals, and the referencing-object triple.
+    # This matches what materialize_map really does per row (real TriplesMaps
+    # carry several predicateObjectMaps), not a one-triple strawman.
+    subj = F.concat(F.lit("<http://ex.org/child/"), F.col("c_id"), F.lit(">"))
+    xsd_int = '"%s"^^<http://www.w3.org/2001/XMLSchema#integer>'
+
+    def po(pred: str, obj) -> F.Column:
+        return F.struct(F.lit(pred).alias("pred"), obj.alias("obj"))
+
+    terms = F.array(
+        po("a", F.lit("<http://ex.org/Child>")),
+        po("<http://ex.org/id>", F.format_string(xsd_int, F.col("c_id"))),
+        po("<http://ex.org/attr>", F.format_string(xsd_int, F.col("c_attr"))),
+        po(
+            "<http://ex.org/ref>",
+            F.concat(F.lit("<http://ex.org/parent/"), F.col("p_name"), F.lit(">")),
+        ),
+    )
+    triples = (
+        joined.select(subj.alias("subj"), F.explode(terms).alias("t"))
+        .select("subj", F.col("t.pred").alias("pred"), F.col("t.obj").alias("obj"))
+        .filter(~F.col("subj").contains(" "))
+    )
     return triples.count()

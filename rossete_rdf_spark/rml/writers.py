@@ -37,11 +37,17 @@ def write_nt(triples: DataFrame, path: str, strict: bool = False) -> None:
 
 def ttl_lines(triples: DataFrame) -> DataFrame:
     """Subject-grouped Turtle: `s p1 o1 ;\n\tp2 o2 .` — one aggregation on
-    subj (the reference groups per row buffer, src/materialiser.rs:220-319)."""
+    subj (the reference groups per row buffer, src/materialiser.rs:220-319).
+    Pairs are sorted within each subject so output is deterministic across
+    runs/partitionings (collect_list order is not); the graph is unchanged."""
     grouped = (
         triples.select("subj", _pred_out().alias("p"), F.col("obj"))
         .groupBy("subj")
-        .agg(F.collect_list(F.format_string("%s %s", F.col("p"), F.col("obj"))).alias("po"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.format_string("%s %s", F.col("p"), F.col("obj")))
+            ).alias("po")
+        )
     )
     return grouped.select(
         F.concat(

@@ -6,10 +6,18 @@ end-to-end on data DuckDB can see."""
 
 from __future__ import annotations
 
+import csv
+import json
+import os
+import re
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .rml.compiler import materialize_all
+from .rml.config import EngineConfig, FileSpec
 from .rml.parser import parse_mapping_text
+from .rml.writers import nt_lines, ttl_lines
 
 _PREFIXES = """
 @prefix rr: <http://www.w3.org/ns/r2rml#>.
@@ -19,9 +27,21 @@ _PREFIXES = """
 """
 
 
-def _run(spark: SparkSession, mapping: str) -> DataFrame:
+def _run(
+    spark: SparkSession, mapping: str, config: EngineConfig | None = None
+) -> DataFrame:
     maps = parse_mapping_text(mapping)
-    return materialize_all(spark, maps).select("subj", "pred", "obj")
+    return materialize_all(spark, maps, config=config).select("subj", "pred", "obj")
+
+
+def _fixture_dir(sf_dir: str) -> str:
+    """Deterministic per-sf_dir scratch dir for source-format fixtures the
+    contract queries derive from the parquet tables (so the DuckDB oracle —
+    which reads the same parquet — sees identical values)."""
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+    d = os.path.join(tempfile.gettempdir(), f"rossete_src_fixtures_{tag}")
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 def rml_nation_region_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,3 +130,124 @@ def rml_constant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 """
     )
     return _run(spark, mapping)
+
+
+def rml_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 CSV scan through the engine, oracle-checkable: the nation table is
+    exported (driver-side, deterministic, sorted) to a ';'-delimited CSV with
+    header, then mapped via a LogicalSource + per-file FileSpec — exercising
+    the reference's CSV reader semantics (header map, configured delimiter,
+    all-TEXT values; src/input.rs:252-318, config src/config.rs:364-374).
+    The DuckDB oracle reads the same rows from the nation parquet view."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(_fixture_dir(sf_dir), "nation.csv")
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    rows = sorted(tbl.to_pylist(), key=lambda r: r["n_nationkey"])
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f, delimiter=";")
+        w.writerow(["n_nationkey", "n_name", "n_regionkey"])
+        for r in rows:
+            w.writerow([r["n_nationkey"], r["n_name"], r["n_regionkey"]])
+
+    cfg = EngineConfig(file_specs={path: FileSpec(delimiter=";")})
+    mapping = (
+        _PREFIXES
+        + f"""
+<#NationCsv> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{path}"; rml:referenceFormulation ql:CSV ];
+  rr:subjectMap [ rr:template "http://ex.org/nation/{{n_nationkey}}"; rr:class ex:Nation ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "n_name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:key;
+    rr:objectMap [ rml:reference "n_nationkey"; rr:datatype xsd:integer ] ].
+"""
+    )
+    return _run(spark, mapping, config=cfg)
+
+
+def rml_json_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 JSON scan with a NESTED JSONPath iterator ($.regions[*].nations[*])
+    through the engine: region+nation are exported (driver-side,
+    deterministic) as one nested JSON document, exercising per-match field
+    extraction like the reference's JSONPath evaluation
+    (src/input.rs:333-392). Oracle reads the nation parquet view."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(_fixture_dir(sf_dir), "regions_nested.json")
+    regions = sorted(
+        pq.read_table(
+            os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+        ).to_pylist(),
+        key=lambda r: r["r_regionkey"],
+    )
+    nations = sorted(
+        pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"),
+            columns=["n_nationkey", "n_name", "n_regionkey"],
+        ).to_pylist(),
+        key=lambda r: r["n_nationkey"],
+    )
+    doc = {
+        "regions": [
+            {
+                "r_name": reg["r_name"],
+                "nations": [
+                    {"n_nationkey": n["n_nationkey"], "n_name": n["n_name"]}
+                    for n in nations
+                    if n["n_regionkey"] == reg["r_regionkey"]
+                ],
+            }
+            for reg in regions
+        ]
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(doc, f, sort_keys=True)
+
+    mapping = (
+        _PREFIXES
+        + f"""
+<#NationJson> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{path}";
+    rml:referenceFormulation ql:JSONPath;
+    rml:iterator "$.regions[*].nations[*]" ];
+  rr:subjectMap [ rr:template "http://ex.org/nation/{{n_nationkey}}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "n_name" ] ].
+"""
+    )
+    return _run(spark, mapping)
+
+
+def nt_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: N-Triples text lines for the nation/region graph — one `s p o .`
+    string per triple with the reference's `a` shorthand quirk
+    (src/materialiser.rs:135-217, output.nt:1)."""
+    return nt_lines(rml_nation_region_graph(spark, sf_dir))
+
+
+def ttl_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: Turtle text lines — triples grouped by subject with `;`
+    continuations (src/materialiser.rs:220-319), predicate-object pairs
+    sorted within each subject for deterministic output."""
+    return ttl_lines(rml_nation_region_graph(spark, sf_dir))
+
+
+def rml_graph_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rr:graphMap demo: the reference parses graphMap but never materializes
+    it (no GraphMap arm in src/materialiser.rs — SURVEY §2 quirk 7); we carry
+    it through as the quad table's `graph` column (falling back to the map
+    name for provenance when absent)."""
+    mapping = (
+        _PREFIXES
+        + f"""
+<#RegionQuads> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "{sf_dir}/region.parquet" ];
+  rr:subjectMap [ rr:template "http://ex.org/region/{{r_regionkey}}";
+                  rr:graphMap [ rr:constant <http://ex.org/graph/regions> ] ];
+  rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rml:reference "r_name" ] ].
+"""
+    )
+    maps = parse_mapping_text(mapping)
+    return materialize_all(spark, maps).select("subj", "pred", "obj", "graph")

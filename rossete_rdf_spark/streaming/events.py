@@ -7,8 +7,12 @@ events older than the allowed lateness are dropped and state is bounded."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_SINK_SEQ = itertools.count()
 
 
 def streaming_hourly_agg(
@@ -33,3 +37,39 @@ def streaming_hourly_agg(
             "sum_value",
         )
     )
+
+
+def streaming_hourly_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: run the REAL streaming pipeline (readStream ->
+    watermarked windowed agg -> memory sink) over the events parquet with an
+    availableNow trigger, then return the sink table. Because the whole file
+    arrives in one micro-batch, the watermark drops nothing and the result
+    equals the batch twin — which is exactly why this streaming query can
+    carry a full DuckDB oracle (same SQL as events_hourly_agg)."""
+    import os
+    import re
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    # FileStreamSource ingests directories; expose the single parquet file
+    # through a per-sf_dir symlink dir (zero-copy)
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+    stream_dir = os.path.join(tempfile.gettempdir(), f"rossete_stream_{tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    out = streaming_hourly_agg(stream)
+    name = f"streaming_hourly_agg_sink_{next(_SINK_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,4 +1,8 @@
-from .ann import ann_cosine_topk, ann_lsh_bucket_topk  # noqa: F401
+from .ann import (  # noqa: F401
+    ann_cosine_topk,
+    ann_lsh_bucket_topk,
+    embedding_neardup_pairs,
+)
 from .dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_pairs,

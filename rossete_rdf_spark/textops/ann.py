@@ -90,6 +90,43 @@ def bucket_col(vec, dims: int = BUCKET_DIMS):
     )
 
 
+EMB_NEARDUP_THRESHOLD = 0.25
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = EMB_NEARDUP_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos) — the
+    embedding tier of the dedup family: sign-bucket LSH blocks candidates
+    (same co-partitioned equi-join as ann_lsh_bucket_topk, never all-pairs),
+    exact cosine verifies. On a real near-dup corpus the bar is ~0.9; the
+    synthetic embeddings have no true duplicates (max same-bucket cos ≈ 0.43),
+    so the contract default is low enough to produce checkable rows."""
+    withb = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        bucket_col(F.col(vec_col)).alias("bucket"),
+    )
+    a = withb.alias("a")
+    b = withb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def ann_lsh_bucket_topk(
     emb: DataFrame,
     n_queries: int = N_QUERIES,
