@@ -128,19 +128,27 @@ def main() -> None:
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", min(cpus, 4)))
     lo = max(hi // 4, 1)
     mat_rows = int(os.environ.get("SPARK_GRAFT_MAT_ROWS", "40000000"))
+    kg_cores = int(os.environ.get("SPARK_GRAFT_KG_CORES", min(cpus, 8)))
 
-    s8 = get_spark(f"bench-kg-{hi}", master=f"local[{hi}]", shuffle_partitions=32)
+    s8 = get_spark(f"bench-kg-{kg_cores}", master=f"local[{kg_cores}]",
+                   shuffle_partitions=32)
     kg_job(s8, 1000, partitions=32, min_words=16, word_spread=24)  # warm-up
-    print(f"[bench] kg warm-up done at {hi} cores", file=sys.stderr, flush=True)
-    t0 = time.time()
-    n_triples = kg_job(s8, n_pages, partitions=32, min_words=16, word_spread=24)
-    hi_sec = time.time() - t0
-    print(f"[bench] kg_job@{hi}: {hi_sec:.1f}s", file=sys.stderr, flush=True)
+    print(f"[bench] kg warm-up done at {kg_cores} cores", file=sys.stderr, flush=True)
+    # min of 2 reps: identical plans vary up to 6x across this VM's slow
+    # phases (see BENCH.md); the min is the engine's actual throughput
+    kg_reps = []
+    for _ in range(2):
+        t0 = time.time()
+        n_triples = kg_job(s8, n_pages, partitions=32, min_words=16, word_spread=24)
+        kg_reps.append(round(time.time() - t0, 3))
+        print(f"[bench] kg_job@{kg_cores}: {kg_reps[-1]}s", file=sys.stderr, flush=True)
+    hi_sec = min(kg_reps)
     result["kg_pipeline"] = {
         "pages": n_pages,
         "triples": n_triples,
-        "cores": hi,
-        "sec": round(hi_sec, 3),
+        "cores": kg_cores,
+        "sec": hi_sec,
+        "reps_sec": kg_reps,
         "triples_per_sec": round(n_triples / hi_sec, 1),
         "pages_per_sec": round(n_pages / hi_sec, 1),
     }

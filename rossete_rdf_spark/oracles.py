@@ -386,3 +386,6 @@ SELECT '<http://ex.org/region/' || r_regionkey::VARCHAR || '>' AS subj,
        'http://ex.org/graph/regions' AS graph
 FROM region
 """
+
+# custom stateful streaming op: availableNow single batch == the batch twin
+ORACLES["streaming_sessionize"] = ORACLES["events_sessionize"]

@@ -39,18 +39,44 @@ def duplicate_edges(pages_text: DataFrame) -> DataFrame:
         .filter(F.col("n_bands") >= MIN_BANDS)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    # Exact-Jaccard verification before CC (mirrors canonicalize.verified_pairs):
-    # a false-positive band collision would otherwise permanently and silently
-    # drop a distinct page from the corpus. Verification joins texts back onto
-    # the (rare) candidate pairs only — linear in #candidates, never all-pairs.
-    grams = pages_text.select("url", ngrams_col(F.col("text")).alias("g"))
-    jac = F.size(F.array_intersect(F.col("ga"), F.col("gb"))) / F.size(
-        F.array_union(F.col("ga"), F.col("gb"))
+    # Exact-Jaccard verification before CC (mirrors canonicalize.verified_pairs'
+    # intent): a false-positive band collision would otherwise permanently and
+    # silently drop a distinct page from the corpus. Implementation is the
+    # inverted-index shape — explode grams, count per-pair intersections with
+    # hash joins/aggs, derive the union from per-page set sizes — NOT
+    # per-pair array_intersect/array_union columns: those allocate a hash set
+    # per evaluated pair inside the join condition, which serializes into
+    # whatever single task AQE coalesces the tiny pair table into (observed:
+    # a 14-minute one-task stage). Everything below is hash-partitioned and
+    # linear in #candidate-pair grams.
+    grams = pages_text.select(
+        "url", F.explode(ngrams_col(F.col("text"))).alias("ng")
+    )
+    sizes = grams.groupBy("url").agg(F.count(F.lit(1)).alias("n"))
+    # candidate pairs and the per-page size table are small relative to the
+    # corpus BY CONSTRUCTION (LSH bucket cap + band threshold), so broadcast
+    # them: the gram sides are probed in place, never shuffled
+    src_g = grams.select(F.col("url").alias("src"), "ng")
+    dst_g = grams.select(F.col("url").alias("dst"), "ng")
+    inter = (
+        F.broadcast(cands.join(src_g, "src"))
+        .join(dst_g, ["dst", "ng"])
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
     near = (
-        cands.join(grams.select(F.col("url").alias("src"), F.col("g").alias("ga")), "src")
-        .join(grams.select(F.col("url").alias("dst"), F.col("g").alias("gb")), "dst")
-        .filter(jac >= NEAR_DUP_JACCARD)
+        inter.join(
+            F.broadcast(sizes.select(F.col("url").alias("src"), F.col("n").alias("na"))),
+            "src",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("url").alias("dst"), F.col("n").alias("nb"))),
+            "dst",
+        )
+        .filter(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= NEAR_DUP_JACCARD
+        )
         .select("src", "dst")
     )
     return exact.unionByName(near)

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import kgops, relops, rmlops
 from .oracles import ORACLES
 from .pipeline.multimodal import multimodal_features_query
-from .streaming.events import streaming_hourly_agg_query
+from .streaming.events import streaming_hourly_agg_query, streaming_sessionize_query
 from .textops import (
     ann_cosine_topk,
     ann_lsh_bucket_topk,
@@ -70,6 +70,7 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q3_shipping": relops.tpch_q3_shipping,
     # structured streaming (real readStream -> watermark -> memory sink)
     "streaming_hourly_agg": streaming_hourly_agg_query,
+    "streaming_sessionize": streaming_sessionize_query,
     # multimodal binary-column plumbing (mapInPandas feature extraction)
     "multimodal_features": multimodal_features_query,
     # RML engine end-to-end

@@ -73,3 +73,107 @@ def streaming_hourly_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- custom stateful operator: gap sessionization ---------------------------
+
+SESSION_GAP_SEC = 1800
+
+_SESS_OUT_SCHEMA = (
+    "user_id LONG, session_id LONG, n_events LONG, "
+    "session_start STRING, session_end STRING, sum_value DOUBLE"
+)
+_SESS_STATE_SCHEMA = "session_id LONG, last_us LONG, start_us LONG, n LONG, sumv DOUBLE"
+
+
+def _sessionize_group(key, pdfs, state):
+    """applyInPandasWithState worker: per-user gap sessionization.
+
+    State carries the OPEN session (id, last/start event time in epoch-us,
+    count, value sum) across micro-batches; each batch emits every session it
+    touched with current totals (update semantics — a still-open session may
+    be re-emitted by a later batch). Production would add a
+    ProcessingTimeTimeout to flush idle sessions; the contract runs
+    availableNow (single batch), where emitted rows are final."""
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts", "event_id"])
+    if state.exists:
+        session_id, last_us, start_us, n, sumv = state.get
+    else:
+        session_id, last_us, start_us, n, sumv = 0, None, None, 0, 0.0
+
+    gap_us = SESSION_GAP_SEC * 1_000_000
+    closed: list[tuple] = []
+    for ts, val in zip(rows["ts"], rows["value"]):
+        us = pd.Timestamp(ts).value // 1000
+        if last_us is None or us - last_us > gap_us:
+            if n:
+                closed.append((session_id, start_us, last_us, n, sumv))
+            session_id += 1
+            start_us, n, sumv = us, 0, 0.0
+        n += 1
+        sumv += float(val)
+        last_us = us
+    closed.append((session_id, start_us, last_us, n, sumv))
+    state.update((int(session_id), int(last_us), int(start_us), int(n), float(sumv)))
+
+    def fmt(us: int) -> str:
+        return pd.Timestamp(us * 1000).strftime("%Y-%m-%d %H:%M:%S")
+
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(closed),
+            "session_id": [c[0] for c in closed],
+            "n_events": [c[3] for c in closed],
+            "session_start": [fmt(c[1]) for c in closed],
+            "session_end": [fmt(c[2]) for c in closed],
+            "sum_value": [round(c[4], 2) for c in closed],
+        }
+    )
+
+
+def streaming_sessionize(events_stream: DataFrame) -> DataFrame:
+    """Gap-based sessionization as a REAL custom stateful streaming operator
+    (applyInPandasWithState): per-user session state survives across
+    micro-batches — the imperative twin of relops.events_sessionize's
+    window/sum formulation, for the case where sessions must close
+    incrementally over an unbounded stream."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: one availableNow micro-batch over the events
+    parquet — every session closes inside the batch, so the stateful result
+    equals the batch twin and shares its DuckDB oracle."""
+    import os
+    import re
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+    stream_dir = os.path.join(tempfile.gettempdir(), f"rossete_stream_{tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    out = streaming_sessionize(stream.select("user_id", "ts", "event_id", "value"))
+    name = f"streaming_sessionize_sink_{next(_SINK_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
