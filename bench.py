@@ -88,15 +88,8 @@ def kg_job(spark, n_pages: int, partitions: int, min_words: int = 240,
     return n
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000"))
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-
-    t_all = time.time()
+def run_queries_phase(sf_dir: str, cpus: int) -> dict:
     timings: dict[str, float] = {}
-
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
     for name in HEADLINE:
         t0 = time.time()
@@ -104,12 +97,73 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
     spark.stop()
+    return timings
 
+
+def run_kg_phase(n_pages: int, kg_cores: int) -> dict:
+    s8 = get_spark(f"bench-kg-{kg_cores}", master=f"local[{kg_cores}]",
+                   shuffle_partitions=32)
+    kg_job(s8, 1000, partitions=32, min_words=16, word_spread=24)  # warm-up
+    print(f"[bench] kg warm-up done at {kg_cores} cores", file=sys.stderr, flush=True)
+    # min of 2 reps: identical plans vary up to 6x across this VM's slow
+    # phases (see BENCH.md); the min is the engine's actual throughput
+    kg_reps = []
+    n_triples = 0
+    for _ in range(2):
+        t0 = time.time()
+        n_triples = kg_job(s8, n_pages, partitions=32, min_words=16, word_spread=24)
+        kg_reps.append(round(time.time() - t0, 3))
+        print(f"[bench] kg_job@{kg_cores}: {kg_reps[-1]}s", file=sys.stderr, flush=True)
+    s8.stop()
+    hi_sec = min(kg_reps)
+    return {
+        "pages": n_pages,
+        "triples": n_triples,
+        "cores": kg_cores,
+        "sec": hi_sec,
+        "reps_sec": kg_reps,
+        "triples_per_sec": round(n_triples / hi_sec, 1),
+        "pages_per_sec": round(n_pages / hi_sec, 1),
+    }
+
+
+def _phase_subprocess(phase: str) -> dict:
+    """Run one bench phase in an ISOLATED process and parse its JSON line.
+
+    Isolation is load-bearing, not cosmetic: PySpark keeps ONE gateway JVM
+    per python process, and a stopped SparkSession's JVM lingers (observed
+    holding ~3 cores of GC/daemon work for the rest of the run) — which both
+    contaminates later phases' timings and crushes the local[1] scaling reps."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), phase],
+        capture_output=True, text=True, timeout=2400, env=os.environ.copy(),
+    )
+    sys.stderr.write(out.stderr[-4000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000"))
+    kg_cores = int(os.environ.get("SPARK_GRAFT_KG_CORES", min(cpus, 8)))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if len(sys.argv) > 1 and sys.argv[1] == "queries":
+        print(json.dumps(run_queries_phase(sf_dir, cpus)))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "kg":
+        print(json.dumps(run_kg_phase(n_pages, kg_cores)))
+        return
+
+    t_all = time.time()
     result = {
         "metric": "bench_total",
         "value": None,  # filled at the end
         "unit": "sec",
-        "queries": timings,
+        "queries": _phase_subprocess("queries"),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -128,32 +182,8 @@ def main() -> None:
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", min(cpus, 4)))
     lo = max(hi // 4, 1)
     mat_rows = int(os.environ.get("SPARK_GRAFT_MAT_ROWS", "40000000"))
-    kg_cores = int(os.environ.get("SPARK_GRAFT_KG_CORES", min(cpus, 8)))
 
-    s8 = get_spark(f"bench-kg-{kg_cores}", master=f"local[{kg_cores}]",
-                   shuffle_partitions=32)
-    kg_job(s8, 1000, partitions=32, min_words=16, word_spread=24)  # warm-up
-    print(f"[bench] kg warm-up done at {kg_cores} cores", file=sys.stderr, flush=True)
-    # min of 2 reps: identical plans vary up to 6x across this VM's slow
-    # phases (see BENCH.md); the min is the engine's actual throughput
-    kg_reps = []
-    for _ in range(2):
-        t0 = time.time()
-        n_triples = kg_job(s8, n_pages, partitions=32, min_words=16, word_spread=24)
-        kg_reps.append(round(time.time() - t0, 3))
-        print(f"[bench] kg_job@{kg_cores}: {kg_reps[-1]}s", file=sys.stderr, flush=True)
-    hi_sec = min(kg_reps)
-    result["kg_pipeline"] = {
-        "pages": n_pages,
-        "triples": n_triples,
-        "cores": kg_cores,
-        "sec": hi_sec,
-        "reps_sec": kg_reps,
-        "triples_per_sec": round(n_triples / hi_sec, 1),
-        "pages_per_sec": round(n_pages / hi_sec, 1),
-    }
-
-    s8.stop()
+    result["kg_pipeline"] = _phase_subprocess("kg")
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         # N -> 4N protocol (see BENCH.md "Scaling protocol"): each rep is an
         # ISOLATED process (scripts/matbench.py: fresh JVM, own warm-up, one

@@ -16,6 +16,13 @@ from ..graph.cc import connected_components
 N_HASHES = 8
 BAND_ROWS = 2
 NGRAM = 3
+# Short surfaces (4-6 chars) have only a handful of char n-grams, so many
+# distinct surfaces share identical MinHash bands — without a bucket cap the
+# banding self-join is quadratic on those buckets (observed as a runaway
+# single-task ArrayDistinct stage in the KG bench). Oversized buckets are
+# non-discriminative anyway; dropping them loses only low-signal candidates.
+MAX_BUCKET = 50
+MIN_BANDS = 2  # candidates must collide in >= 2 of 4 bands
 
 
 def _char_ngrams(col, n: int = NGRAM):
@@ -54,7 +61,18 @@ def surface_candidate_pairs(surfaces: DataFrame, col: str = "surface") -> DataFr
             )
         ).alias("bk"),
     ).select("s", "bk.band", "bk.key")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "key")
+    bands = (
+        bands.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn") <= MAX_BUCKET)
+        .drop("__bn")
+    )
     a, b = bands.alias("a"), bands.alias("b")
+    # require agreement in >= MIN_BANDS of the 4 bands: single-band
+    # collisions on few-gram surfaces are near-random and would flood the
+    # verifier (8000-page probe: 186k single-band pairs -> 26k at >=2)
     return (
         a.join(
             b,
@@ -62,21 +80,36 @@ def surface_candidate_pairs(surfaces: DataFrame, col: str = "surface") -> DataFr
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.s") < F.col("b.s")),
         )
-        .select(F.col("a.s").alias("a"), F.col("b.s").alias("b"))
-        .distinct()
+        .groupBy(F.col("a.s").alias("a"), F.col("b.s").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= MIN_BANDS)
+        .select("a", "b")
     )
 
 
 def verified_pairs(candidates: DataFrame, threshold: float = 0.6) -> DataFrame:
-    """Exact char-n-gram Jaccard on candidates only."""
+    """Exact char-n-gram Jaccard on candidates only. The gram array is
+    computed ONCE per surface and joined in (broadcast — the surface set is
+    the gazetteer, small by construction), not recomputed per pair row."""
+    surfaces = (
+        candidates.select(F.col("a").alias("s"))
+        .unionByName(candidates.select(F.col("b").alias("s")))
+        .distinct()
+        .select("s", _char_ngrams(F.col("s")).alias("g"))
+    )
     jac = F.size(F.array_intersect(F.col("ga"), F.col("gb"))) / F.size(
         F.array_union(F.col("ga"), F.col("gb"))
     )
     return (
-        candidates.withColumn("ga", _char_ngrams(F.col("a")))
-        .withColumn("gb", _char_ngrams(F.col("b")))
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
+        candidates.join(
+            F.broadcast(surfaces.select(F.col("s").alias("a"), F.col("g").alias("ga"))),
+            "a",
+        )
+        .join(
+            F.broadcast(surfaces.select(F.col("s").alias("b"), F.col("g").alias("gb"))),
+            "b",
+        )
+        .filter(jac >= threshold)
         .select("a", "b")
     )
 

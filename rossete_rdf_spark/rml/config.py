@@ -38,6 +38,12 @@ class FileSpec:
 class EngineConfig:
     file_specs: dict[str, FileSpec] = field(default_factory=dict)
     output_format: str | None = None  # 'nt' | 'ttl' | None (by extension)
+    # The reference's XML reader is a stub that stages ZERO rows
+    # (src/input.rs:400-435) and golden parity depends on that (the
+    # #TransportMapping contributes nothing to ex_out.ttl). xml_real=True
+    # opts into an actual XML source: XPath-style iterator over elements,
+    # fields from child-element text / @attributes.
+    xml_real: bool = False
 
     def spec_for(self, path: str) -> FileSpec | None:
         """Match by normalized absolute-or-suffix path, like the reference's
@@ -76,4 +82,5 @@ def config_from_json(data: dict, base_dir: str | None = None) -> EngineConfig:
     of = data.get("output-format")
     if of is not None:
         cfg.output_format = str(of).lower()
+    cfg.xml_real = bool(data.get("xml-real", False))
     return cfg

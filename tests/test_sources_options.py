@@ -150,3 +150,21 @@ def test_composite_join_condition_materializes(spark, tmp_path):
         if r["pred"] == "<http://p/link>"
     }
     assert rows == {("<http://s/7>", "<http://p/link>", "<http://t/GOOD>")}
+
+
+def test_xml_real_reader_optin(spark, tmp_path):
+    """Default XML = reference-parity stub (zero rows); EngineConfig
+    xml_real=True parses elements via the XPath-style iterator, fields from
+    child elements and @attributes."""
+    p = tmp_path / "stops.xml"
+    p.write_text(
+        "<stops><stop id='1'><name>alpha</name></stop>"
+        "<stop id='2'><name>beta</name></stop></stops>"
+    )
+    src = LogicalSource(source=str(p), fmt="xml", iterator="/stops/stop")
+    assert load_logical_source(spark, src, ["@id", "name"]).count() == 0  # stub
+
+    cfg = EngineConfig(xml_real=True)
+    df = load_logical_source(spark, src, ["@id", "name"], config=cfg)
+    rows = sorted((r[sanitize("@id")], r[sanitize("name")]) for r in df.collect())
+    assert rows == [("1", "alpha"), ("2", "beta")]
