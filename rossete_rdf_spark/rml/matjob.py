@@ -54,15 +54,20 @@ def rml_materialize_job(
     # This matches what materialize_map really does per row (real TriplesMaps
     # carry several predicateObjectMaps), not a one-triple strawman.
     subj = F.concat(F.lit("<http://ex.org/child/"), F.col("c_id"), F.lit(">"))
-    xsd_int = '"%s"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    xsd_int = '"^^<http://www.w3.org/2001/XMLSchema#integer>'
 
     def po(pred: str, obj) -> F.Column:
         return F.struct(F.lit(pred).alias("pred"), obj.alias("obj"))
 
+    def lit_int(col) -> F.Column:
+        # concat, not format_string: String.format allocates per call and is
+        # the dominant cost of the term pass (UTF8String concat is ~2x faster)
+        return F.concat(F.lit('"'), col, F.lit(xsd_int))
+
     terms = F.array(
         po("a", F.lit("<http://ex.org/Child>")),
-        po("<http://ex.org/id>", F.format_string(xsd_int, F.col("c_id"))),
-        po("<http://ex.org/attr>", F.format_string(xsd_int, F.col("c_attr"))),
+        po("<http://ex.org/id>", lit_int(F.col("c_id"))),
+        po("<http://ex.org/attr>", lit_int(F.col("c_attr"))),
         po(
             "<http://ex.org/ref>",
             F.concat(F.lit("<http://ex.org/parent/"), F.col("p_name"), F.lit(">")),

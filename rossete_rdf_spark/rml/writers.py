@@ -27,7 +27,7 @@ def nt_lines(triples: DataFrame, strict: bool = False) -> DataFrame:
     parsers/loaders accept the files."""
     pred = F.col("pred") if strict else _pred_out()
     return triples.select(
-        F.format_string("%s %s %s .", F.col("subj"), pred, F.col("obj")).alias("value")
+        F.concat_ws(" ", F.col("subj"), pred, F.col("obj"), F.lit(".")).alias("value")
     )
 
 
@@ -45,7 +45,7 @@ def ttl_lines(triples: DataFrame) -> DataFrame:
         .groupBy("subj")
         .agg(
             F.array_sort(
-                F.collect_list(F.format_string("%s %s", F.col("p"), F.col("obj")))
+                F.collect_list(F.concat_ws(" ", F.col("p"), F.col("obj")))
             ).alias("po")
         )
     )
