@@ -389,3 +389,29 @@ FROM region
 
 # custom stateful streaming op: availableNow single batch == the batch twin
 ORACLES["streaming_sessionize"] = ORACLES["events_sessionize"]
+
+# IVF ANN: deterministic centroids (vec_id < 16), nearest-centroid inverted
+# lists, search within the query's own list. Assignment compares RAW doubles
+# (same fold order both engines -> bitwise equal); output sim rounded.
+_IVF_COS_RAW = (
+    "list_reduce([v[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(v)+1)], (x, y) -> x + y)"
+    " / (sqrt(list_reduce([v[i]::DOUBLE * v[i]::DOUBLE for i in range(1, len(v)+1)], (x, y) -> x + y))"
+    " * sqrt(list_reduce([cv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(cv)+1)], (x, y) -> x + y)))"
+)
+ORACLES["ann_ivf_topk"] = f"""
+WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+sc AS (SELECT e.vec_id AS vid, e.embedding AS v, cent_id, {_IVF_COS_RAW} AS s
+       FROM embeddings e CROSS JOIN cent),
+asg AS (SELECT vid, v, cent_id AS cluster FROM
+          (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY s DESC, cent_id) AS rn FROM sc)
+        WHERE rn = 1),
+q AS (SELECT vid AS query_id, v AS qv, cluster FROM asg WHERE vid < 10),
+c AS (SELECT vid AS cand_id, v AS cv, cluster FROM asg),
+scored AS (
+  SELECT query_id, cand_id, {_COS} AS sim
+  FROM q JOIN c USING (cluster) WHERE query_id <> cand_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
+  FROM scored)
+SELECT query_id, cand_id, sim, rk::BIGINT AS rk FROM ranked WHERE rk <= 3
+"""

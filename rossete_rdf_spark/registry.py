@@ -14,6 +14,7 @@ from .pipeline.multimodal import multimodal_features_query
 from .streaming.events import streaming_hourly_agg_query, streaming_sessionize_query
 from .textops import (
     ann_cosine_topk,
+    ann_ivf_topk,
     ann_lsh_bucket_topk,
     doc_fingerprint,
     embedding_neardup_pairs,
@@ -57,6 +58,7 @@ QUERIES: dict[str, QueryFn] = {
     # similarity search + embedding-tier dedup
     "ann_cosine_topk": _emb_op(ann_cosine_topk),
     "ann_lsh_bucket_topk": _emb_op(ann_lsh_bucket_topk),
+    "ann_ivf_topk": _emb_op(ann_ivf_topk),
     "embedding_neardup_pairs": _emb_op(embedding_neardup_pairs),
     # KG construction (batch face)
     "kg_mentions": kgops.kg_mentions,

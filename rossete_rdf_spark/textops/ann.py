@@ -160,3 +160,64 @@ def ann_lsh_bucket_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", "sim", F.col("rk").cast("long").alias("rk"))
     )
+
+
+N_CENTROIDS = 16
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = 3,
+    n_centroids: int = N_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition vectors into inverted lists by nearest
+    centroid, then search only the query's own list (nprobe=1).
+
+    Centroids here are the first n_centroids vectors — deterministic so the
+    DuckDB oracle can reproduce the assignment bit-for-bit; a production run
+    would plug k-means centroids into the same two-stage plan. Scale shape:
+    assignment is a broadcast (tiny centroid table) + one max_by hash
+    aggregation per vector — no sort, no all-pairs; search is an equi-join
+    co-partitioned on the list id, cost ~ 1/n_centroids of brute force."""
+    cent = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+    scored_cent = (
+        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(cent))
+        .select(
+            "vid", "v", "cent_id", cosine_col(F.col("v"), F.col("cv")).alias("s")
+        )
+    )
+    # nearest centroid, ties to the smaller cent_id (max over (s, -cent_id))
+    assigned = scored_cent.groupBy("vid").agg(
+        F.max_by(
+            F.col("cent_id"), F.struct(F.col("s"), (-F.col("cent_id")).alias("nc"))
+        ).alias("cluster"),
+        F.first("v").alias("v"),
+    )
+    q = assigned.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv"), "cluster"
+    )
+    c = assigned.select(
+        F.col("vid").alias("cand_id"), F.col("v").alias("cv"), "cluster"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cluster")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_col(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )

@@ -54,3 +54,15 @@ def test_rml_graph_plan_has_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # AQE owns the plan (runtime re-plan + skew handling enabled)
     assert "AdaptiveSparkPlan" in plan
+
+
+def test_rml_parquet_scan_is_column_pruned(spark):
+    # the mapping references n_nationkey/n_name/n_regionkey; the scan must
+    # not read n_comment (Catalyst pruning through the string-cast projection)
+    plan = _plan(rml_nation_region_graph(spark, SF))
+    nation_scans = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "n_nationkey" in ln
+    ]
+    assert nation_scans
+    assert all("n_comment" not in ln for ln in nation_scans)
