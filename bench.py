@@ -147,6 +147,9 @@ def _phase_subprocess(phase: str) -> dict:
 
 
 def main() -> None:
+    # bench opt-in: tmpfs shuffle dirs on this VM (session.py gates on it);
+    # set before any phase branch so the phase subprocesses inherit it
+    os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000"))

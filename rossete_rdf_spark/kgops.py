@@ -13,15 +13,15 @@ Scan discipline (the 100 TB concern): `kg_doc_triples` reads `documents`
 exactly twice — one column-pruned scan of the metadata columns (doc_id, lang,
 n_chars, source) expanded to four triples per row via a single array+explode
 (the same single-pass pattern as rml/compiler.py), and one scan of (doc_id,
-text) for the mention chain. The gazetteer is derived from the mention
-aggregate itself with a window over the mention shuffle key — no second
-tokenization pass and no join."""
+text) for the mention chain. The gazetteer is a hash aggregate over the
+mention rows broadcast back onto them — no second tokenization pass, no
+shuffle of the fact side, and no window sort on the (potentially hub-skewed)
+term key."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .textops.common import words_col
 
@@ -55,14 +55,30 @@ def linked_mentions_from(docs: DataFrame) -> DataFrame:
     """Mention rows whose term clears the gazetteer bar, plus n_docs.
 
     Because mentions_from is already one row per (doc_id, mention), the
-    per-term distinct-doc count is a plain count() window over mention — the
-    gazetteer filter costs one extra shuffle on the term key and NO second
-    scan/join (the old shape recomputed the whole mention aggregate to build
-    the dictionary, then joined it back)."""
+    per-term distinct-doc count is a plain groupBy(mention).count() hash
+    aggregate; the (small, threshold-filtered) gazetteer broadcasts back
+    onto the mention rows. NOT a count() window over mention: WindowExec
+    sorts each partition by the key — the shape that inverts under
+    parallelism here (BENCH.md) — and a hub term's partition can't be
+    skew-split by AQE, whereas the hash agg takes map-side partials and the
+    broadcast join never shuffles the fact side. Catalyst's ReuseExchange
+    dedupes the shared mention-aggregate subtree, so `documents` is still
+    scanned exactly once (asserted in tests/test_plans.py)."""
     m = mentions_from(docs)
-    w = Window.partitionBy("mention")
-    return m.withColumn("n_docs", F.count(F.lit(1)).over(w)).filter(
-        F.col("n_docs") >= MIN_ENTITY_DOCS
+    # max(n_occurrences) > 0 is always true (counts are >= 1) — it exists so
+    # the optimizer cannot prune n_occurrences out of this branch: pruned,
+    # the two (doc_id, mention) partial aggregates stop being canonically
+    # equal and AQE re-scans + re-tokenizes the corpus for the gazetteer
+    # instead of reusing the mention shuffle stage (verified in
+    # tests/test_plans.py: one scan, one exchange, reused)
+    gaz = (
+        m.groupBy("mention")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.max("n_occurrences").alias("__t"))
+        .filter((F.col("n_docs") >= MIN_ENTITY_DOCS) & (F.col("__t") > 0))
+        .drop("__t")
+    )
+    return m.join(F.broadcast(gaz), "mention").select(
+        "doc_id", "mention", "n_occurrences", "n_docs"
     )
 
 
@@ -131,6 +147,11 @@ def kg_doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t_ment = (
         linked_mentions_from(docs)
+        # always-true (counts are >= 1): stops the optimizer pruning
+        # n_occurrences out of this branch, which would desynchronize it
+        # from the gazetteer branch's aggregate and defeat AQE stage reuse
+        # (same trick as linked_mentions_from; plan-asserted in test_plans)
+        .filter(F.col("n_occurrences") > 0)
         .select(
             F.concat(F.lit(f"<{DOC_NS}"), F.col("doc_id"), F.lit(">")).alias("subj"),
             F.lit(f"<{ONTO}mentions>").alias("pred"),

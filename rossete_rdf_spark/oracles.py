@@ -11,7 +11,13 @@ from __future__ import annotations
 from .kgops import DOC_NS, ENTITY_NS, MIN_ENTITY_DOCS, MIN_MENTION_LEN, ONTO
 from .textops.ann import EMB_NEARDUP_THRESHOLD
 from .textops.common import sql_ngrams, sql_words
-from .textops.dedup import BAND_ROWS, N_HASHES, NGRAM_MAX_DF, SIMHASH_BITS
+from .textops.dedup import (
+    BAND_ROWS,
+    MINHASH_MAX_BUCKET,
+    N_HASHES,
+    NGRAM_MAX_DF,
+    SIMHASH_BITS,
+)
 from .textops.quality import LANG_MARKERS, LANG_ORDER, TOKEN_RE
 
 RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
@@ -65,7 +71,10 @@ _band_selects = " UNION ALL ".join(
 ORACLES["minhash_lsh_pairs"] = f"""
 WITH g AS (SELECT doc_id, unnest({_NGRAMS}) AS ng FROM documents),
 sig AS (SELECT doc_id, {_minhash_cols} FROM g GROUP BY 1),
-bands AS ({_band_selects})
+bands0 AS ({_band_selects}),
+bands AS (SELECT doc_id, band, key FROM
+            (SELECT *, count(*) OVER (PARTITION BY band, key) AS bn FROM bands0)
+          WHERE bn <= {MINHASH_MAX_BUCKET})
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_bands
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id

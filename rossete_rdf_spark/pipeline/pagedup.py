@@ -55,11 +55,15 @@ def duplicate_edges(pages_text: DataFrame) -> DataFrame:
     sizes = grams.groupBy("url").agg(F.count(F.lit(1)).alias("n"))
     # candidate pairs and the per-page size table are small relative to the
     # corpus BY CONSTRUCTION (LSH bucket cap + band threshold), so broadcast
-    # them: the gram sides are probed in place, never shuffled
+    # THEM — and only them. Broadcasting the cands⋈src_grams result would
+    # ship pairs × grams-per-page (hundreds of MB on a big corpus); instead
+    # cands broadcasts into the src-gram join (probed in place), and the
+    # (dst, ng) join stays a shuffled hash join on gram rows.
     src_g = grams.select(F.col("url").alias("src"), "ng")
     dst_g = grams.select(F.col("url").alias("dst"), "ng")
     inter = (
-        F.broadcast(cands.join(src_g, "src"))
+        F.broadcast(cands)
+        .join(src_g, "src")
         .join(dst_g, ["dst", "ng"])
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("inter"))

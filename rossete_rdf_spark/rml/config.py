@@ -11,10 +11,13 @@ Mirrors the reference's JSON config surface (reference: src/config.rs):
     (src/config.rs:275-297) and Tungsten spill replaces the in-memory-DB
     threshold (src/config.rs:203-220).
 
-Encodings: the reference maps ~40 WHATWG names onto encoding_rs
-(src/config.rs:378-425); Spark's CSV reader takes the charset name directly
-(java.nio.charset), which covers the same WHATWG set — we pass the name
-through verbatim and let the JVM resolve it.
+Encodings: the reference maps ~40 WHATWG labels onto encoding_rs with a few
+quirks ("KOI8"->KOI8-R, "WINDOWS"->windows-1258, "UTF-16"->LE, unknown ->
+UTF-8; src/config.rs:378-425). Spark's CSV reader takes java.nio charset
+names, which don't accept all WHATWG labels — canonical_encoding() replays
+the reference's exact table onto java.nio names, including the
+unknown->UTF-8 default. Two labels have no JVM decoder at all (REPLACEMENT,
+X-USER-DEFINED) and fall back to UTF-8, documented per-entry below.
 """
 
 from __future__ import annotations
@@ -22,6 +25,43 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass, field
+
+
+# The reference's WHATWG-label table (src/config.rs:378-425) rendered onto
+# java.nio charset names. Identity entries (EUC-JP, GBK, windows-125x, ...)
+# are omitted: any label not listed here passes through IF java.nio knows it,
+# else falls back to UTF-8 exactly like the reference's `_ =>` arm.
+_WHATWG_TO_JAVA: dict[str, str] = {
+    "BIG5": "Big5",
+    "ISO-8859-8-I": "ISO-8859-8",  # logical-order variant, same byte decode
+    "KOI8": "KOI8-R",  # reference quirk: bare KOI8 means KOI8-R
+    "MACINTOSH": "x-MacRoman",
+    "REPLACEMENT": "UTF-8",  # WHATWG poison decoder; no JVM analogue
+    "SHIFT_JIS": "Shift_JIS",
+    "UTF-16": "UTF-16LE",  # reference quirk: UTF-16 means LE
+    "WINDOWS-874": "x-windows-874",
+    "WINDOWS": "windows-1258",  # reference quirk (src/config.rs:420)
+    "X-MAC-CYRILLIC": "x-MacCyrillic",
+    "X-USER-DEFINED": "UTF-8",  # no JVM analogue
+}
+
+
+def canonical_encoding(name: str) -> str:
+    """WHATWG label -> java.nio charset name, with the reference's
+    unknown->UTF-8 default (src/config.rs:378-425)."""
+    import codecs
+
+    up = str(name).upper()
+    if up in _WHATWG_TO_JAVA:
+        return _WHATWG_TO_JAVA[up]
+    try:
+        # python's codec registry is a good proxy for java.nio coverage of
+        # the remaining (identity) WHATWG labels; both know the ISO-8859-x,
+        # EUC-*, GB*, IBM866, KOI8-R/U, windows-125x families
+        codecs.lookup(up)
+        return up
+    except LookupError:
+        return "UTF-8"
 
 
 @dataclass(frozen=True)
@@ -46,16 +86,18 @@ class EngineConfig:
     xml_real: bool = False
 
     def spec_for(self, path: str) -> FileSpec | None:
-        """Match by normalized absolute-or-suffix path, like the reference's
-        PathBuf-keyed HashMap (src/config.rs:122-124)."""
+        """Match by normalized path, like the reference's PathBuf-keyed
+        HashMap (src/config.rs:122-124). A basename fallback exists only for
+        the UNAMBIGUOUS case (exactly one configured file with that name, for
+        relative-vs-absolute mismatches); when several configured paths share
+        the basename the lookup returns None rather than letting dict order
+        pick a winner for an unrelated file."""
         norm = os.path.normpath(path)
         if norm in self.file_specs:
             return self.file_specs[norm]
         base = os.path.basename(norm)
-        for k, v in self.file_specs.items():
-            if os.path.basename(k) == base:
-                return v
-        return None
+        hits = [v for k, v in self.file_specs.items() if os.path.basename(k) == base]
+        return hits[0] if len(hits) == 1 else None
 
 
 def load_config(path: str) -> EngineConfig:
@@ -76,7 +118,7 @@ def config_from_json(data: dict, base_dir: str | None = None) -> EngineConfig:
         cfg.file_specs[os.path.normpath(p)] = FileSpec(
             delimiter=str(spec.get("delimiter", ","))[:1] or ",",
             header=bool(spec.get("header", True)),
-            encoding=str(spec.get("encoding", "UTF-8")).upper(),
+            encoding=canonical_encoding(spec.get("encoding", "UTF-8")),
             file_type=spec.get("file-type"),
         )
     of = data.get("output-format")

@@ -326,9 +326,21 @@ def parse_mapping_text(text: str, base_dir: str | None = None) -> list[TriplesMa
                 ts.next()
         elif low.endswith(":logicalsource"):
             if ts.peek() == "[":
+                if cur_source is not None:
+                    # reference hard-errors on a repeated logicalSource
+                    # (src/mappings/maps.rs:29-56) — last-wins would silently
+                    # materialise from the wrong table
+                    raise ValueError(
+                        f"map {cur_name or '?'}: more than one rml:logicalSource"
+                    )
                 cur_source = _parse_logical_source(_parse_block(ts))
         elif low.endswith(":subjectmap"):
             if ts.peek() == "[":
+                if cur_subject is not None:
+                    # exactly one subjectMap per map (src/mappings/maps.rs:29-56)
+                    raise ValueError(
+                        f"map {cur_name or '?'}: more than one rr:subjectMap"
+                    )
                 cur_subject = _parse_subject_map(_parse_block(ts), cur_name or "?")
         elif low.endswith(":predicateobjectmap"):
             if ts.peek() == "[":

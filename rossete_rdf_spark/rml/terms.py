@@ -38,7 +38,12 @@ def expand_curie(token: str, prefixes: dict[str, str], tags: bool) -> str:
     if key in prefixes:
         expanded = prefixes[key] + local
         return f"<{expanded}>" if tags else expanded
-    return token  # unresolved-prefix passthrough
+    # unresolved-prefix passthrough. Deliberate divergence: the reference
+    # appends two trailing spaces to the raw token (src/materialiser.rs:
+    # 756-760 pushes `format!("{token}  ")`); we return it bare — the graph
+    # comparator trims terms, so golden parity is unaffected, and the bare
+    # form round-trips through the writers without a double space.
+    return token
 
 
 def template_column(template: Template, colmap: dict[str, str]) -> Column:

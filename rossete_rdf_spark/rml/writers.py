@@ -68,7 +68,11 @@ def write_ttl(triples: DataFrame, path: str, prefixes: dict[str, str] | None = N
     if prefixes:
         import os
 
-        lines = [f"@prefix {k} <{v}> ." for k, v in sorted(prefixes.items()) if k]
+        lines = [
+            f"@prefix {k.rstrip(':')}: <{v}> ."
+            for k, v in sorted(prefixes.items())
+            if k
+        ]
         with open(os.path.join(path, "00000_prefixes.ttl"), "w", encoding="utf-8") as f:
             f.write("\n".join(lines) + "\n")
 

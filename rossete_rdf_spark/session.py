@@ -8,6 +8,7 @@ stages are pandas/Arrow UDFs — never row-at-a-time Python).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -24,6 +25,25 @@ def _ensure_driver_memory() -> None:
     args = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
     if "--driver-memory" not in args:
         os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} " + args
+
+
+def _configured_driver_gb() -> int:
+    """Heap size the driver JVM will (or did) launch with, from the same
+    sources _ensure_driver_memory uses: an explicit --driver-memory in
+    PYSPARK_SUBMIT_ARGS wins, else SPARK_DRIVER_MEMORY, else the 48g default."""
+    args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    m = re.search(r"--driver-memory[= ](\d+)([gGmM])", args)
+    if not m:
+        m = re.match(r"(\d+)([gGmM])", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    if not m:
+        return 48
+    n, unit = int(m.group(1)), m.group(2).lower()
+    return n if unit == "g" else max(n // 1024, 1)
+
+
+def _object_agg_threshold() -> int:
+    gb = _configured_driver_gb()
+    return min(1 << 23, max(1 << 17, gb * (1 << 20)))
 
 
 def get_spark(
@@ -58,15 +78,24 @@ def get_spark(
         # min_by/collect-style aggregates run on ObjectHashAggregate, which
         # falls back to SORT-based aggregation after only 128 distinct keys
         # per task by default — defeating the whole point of hash-based
-        # first-occurrence dedup. With a 48g heap, keep it hash-based.
+        # first-occurrence dedup. Keep it hash-based, scaled to the heap the
+        # session actually gets (~1M keys/GiB-of-heap, capped at 8M): a 4g
+        # spark-submit driver gets 1<<22, the 48g bench driver 1<<23.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-                str(1 << 23))
+                str(_object_agg_threshold()))
     )
-    # Shuffle/spill files on the fastest local volume available. In this
-    # sandbox the disk syscall path is the measured bottleneck and /dev/shm
-    # (126G tmpfs) stands in for the NVMe local dirs a real cluster node
-    # would configure via SPARK_LOCAL_DIRS.
-    if os.path.isdir("/dev/shm") and "spark.local.dir" not in (extra_conf or {}):
+    # tmpfs shuffle dirs are a SANDBOX OPT-IN, not a library default: on a
+    # real node, spilling into RAM-backed /dev/shm would consume the very
+    # memory the spill exists to relieve. Real clusters set SPARK_LOCAL_DIRS
+    # (which Spark itself prefers over spark.local.dir, so we never override
+    # it); the bench harness sets SPARK_GRAFT_TMPFS=1 because this VM's disk
+    # syscall path is the measured bottleneck (BENCH.md).
+    if (
+        os.environ.get("SPARK_GRAFT_TMPFS")
+        and "SPARK_LOCAL_DIRS" not in os.environ
+        and os.path.isdir("/dev/shm")
+        and "spark.local.dir" not in (extra_conf or {})
+    ):
         b = b.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

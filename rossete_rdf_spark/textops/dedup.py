@@ -114,6 +114,7 @@ def ngram_jaccard_pairs(
 
 N_HASHES = 8
 BAND_ROWS = 2  # 4 bands of 2 rows
+MINHASH_MAX_BUCKET = 50  # default LSH bucket skew cap (see minhash_lsh_pairs)
 
 
 def minhash64(col, seed: int):
@@ -151,17 +152,19 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_bucket: int | None = None,
+    max_bucket: int | None = MINHASH_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, n_bands they collide in).
 
     Banding: N_HASHES/BAND_ROWS bands, band key = md5 of its rows; docs
     sharing any band key become candidates.
 
-    max_bucket is the skew guard for web-scale corpora: a band bucket with
-    thousands of members is non-discriminative (boilerplate, near-empty
-    pages) and would make the self-join quadratic on that key — standard
-    LSH practice drops buckets above a size cap before joining."""
+    max_bucket is the skew guard for web-scale corpora, ON by default: a
+    band bucket with thousands of members is non-discriminative (boilerplate,
+    near-empty pages) and would make the self-join quadratic on that key —
+    standard LSH practice drops buckets above a size cap before joining.
+    max_bucket=None opts into the uncapped all-candidates variant (only sane
+    on corpora known to be free of hot buckets)."""
     sig = minhash_signatures(docs, n, id_col, text_col)
     n_bands = N_HASHES // BAND_ROWS
     bands = sig.select(

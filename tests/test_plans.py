@@ -29,19 +29,49 @@ def test_q3_broadcasts_customer(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_entity_link_single_scan_no_join(spark):
-    # gazetteer filter is a window over the mention shuffle: one documents
-    # scan, zero joins (the old shape re-tokenized the corpus and joined)
-    plan = _plan(kg_entity_link(spark, SF))
-    assert plan.count("ReadSchema") == 1
-    assert "Join" not in plan
+def test_entity_link_single_scan_broadcast_gazetteer(spark):
+    # gazetteer = hash agg over the mention rows, broadcast back: ONE
+    # documents scan at runtime (AQE stage reuse dedupes the shared mention
+    # aggregate — visible only in the FINAL plan, so execute first), exactly
+    # one join and it's a broadcast, and no window sort on the hub-skewable
+    # mention key
+    df = kg_entity_link(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "ReusedExchange" in final
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    assert "Window" not in final
+
+
+def test_first_match_join_has_no_sort(spark):
+    # parent collapse is min_by hash aggregation; the old row_number window
+    # put a per-partition sort exchange in the plan (inverts under
+    # parallelism on allocation-heavy stages — BENCH.md measurements)
+    from rossete_rdf_spark.relops import rel_first_match_join
+
+    plan = _plan(rel_first_match_join(spark, SF))
+    assert "Window" not in plan
+    # the packed order_col keeps every min_by buffer primitive -> whole-stage
+    # HashAggregate; a struct anywhere in the buffer would drop the plan to
+    # SortAggregate and bring the sort back
+    assert "HashAggregate" in plan
+    assert "Sort (" not in plan and "SortAggregate" not in plan
 
 
 def test_doc_triples_two_pruned_scans(spark):
     # one metadata scan (array+explode of 4 triples/row) + one text scan for
-    # the mention chain; the old shape scanned documents 4+ times
-    plan = _plan(kg_doc_triples(spark, SF))
-    assert plan.count("ReadSchema") == 2
+    # the mention chain (AQE stage reuse collapses the gazetteer branch onto
+    # the mention shuffle — final plan only); the old shape scanned
+    # documents 4+ times
+    df = kg_doc_triples(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2
+    assert "ReusedExchange" in final
     meta_scans = [
         ln for ln in plan.splitlines() if "ReadSchema" in ln and "text" not in ln
     ]

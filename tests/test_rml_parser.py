@@ -138,3 +138,27 @@ def test_remove_comments_escaped_quote():
     assert remove_comments('p "a\\"b #c" # tail') == 'p "a\\"b #c" '
     # escaped backslash before the closing quote: quote DOES close the string
     assert remove_comments('p "a\\\\" # tail') == 'p "a\\\\" '
+
+
+def test_duplicate_logical_source_raises():
+    bad = """
+<#D> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "a.csv" ];
+  rml:logicalSource [ rml:source "b.csv" ];
+  rr:subjectMap [ rr:template "http://s/{id}" ].
+"""
+    # exactly-one validation, matching the reference's hard error
+    # (src/mappings/maps.rs:29-56) — last-wins would read the wrong table
+    with pytest.raises(ValueError, match="more than one rml:logicalSource"):
+        parse_mapping_text(bad)
+
+
+def test_duplicate_subject_map_raises():
+    bad = """
+<#D> a rr:TriplesMap;
+  rml:logicalSource [ rml:source "a.csv" ];
+  rr:subjectMap [ rr:template "http://s/{id}" ];
+  rr:subjectMap [ rr:template "http://t/{id}" ].
+"""
+    with pytest.raises(ValueError, match="more than one rr:subjectMap"):
+        parse_mapping_text(bad)

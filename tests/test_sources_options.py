@@ -168,3 +168,55 @@ def test_xml_real_reader_optin(spark, tmp_path):
     df = load_logical_source(spark, src, ["@id", "name"], config=cfg)
     rows = sorted((r[sanitize("@id")], r[sanitize("name")]) for r in df.collect())
     assert rows == [("1", "alpha"), ("2", "beta")]
+
+
+def test_spec_for_ambiguous_basename_returns_none():
+    from rossete_rdf_spark.rml.config import EngineConfig, FileSpec
+
+    cfg = EngineConfig(
+        file_specs={
+            "/data/dir1/data.csv": FileSpec(delimiter=";"),
+            "/data/dir2/data.csv": FileSpec(delimiter="|"),
+        }
+    )
+    # exact path wins; an ambiguous basename must NOT let dict order pick
+    assert cfg.spec_for("/data/dir1/data.csv").delimiter == ";"
+    assert cfg.spec_for("/elsewhere/data.csv") is None
+    # unambiguous basename fallback still works
+    cfg2 = EngineConfig(file_specs={"/data/dir1/only.csv": FileSpec(delimiter=";")})
+    assert cfg2.spec_for("only.csv").delimiter == ";"
+
+
+def test_whatwg_encoding_aliases():
+    from rossete_rdf_spark.rml.config import canonical_encoding
+
+    # reference quirks (src/config.rs:378-425)
+    assert canonical_encoding("koi8") == "KOI8-R"
+    assert canonical_encoding("windows") == "windows-1258"
+    assert canonical_encoding("UTF-16") == "UTF-16LE"
+    assert canonical_encoding("macintosh") == "x-MacRoman"
+    assert canonical_encoding("iso-8859-8-i") == "ISO-8859-8"
+    # identity labels pass through uppercased
+    assert canonical_encoding("windows-1252") == "WINDOWS-1252"
+    assert canonical_encoding("iso-8859-5") == "ISO-8859-5"
+    # unknown -> UTF-8 (the reference's default arm)
+    assert canonical_encoding("not-a-charset") == "UTF-8"
+
+
+def test_write_ttl_prefix_header_is_valid_turtle(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from rossete_rdf_spark.rml.writers import write_ttl
+
+    triples = spark.createDataFrame(
+        [("<http://ex.org/s>", "<http://ex.org/p>", "<http://ex.org/o>")],
+        ["subj", "pred", "obj"],
+    ).withColumn("subj", F.col("subj"))
+    out = str(tmp_path / "out_ttl")
+    write_ttl(triples, out, prefixes={"ex": "http://ex.org/", "rr:": "http://rr/"})
+    header = open(glob.glob(f"{out}/00000_prefixes.ttl")[0]).read().splitlines()
+    # bare and colon-suffixed prefix keys both serialize as `name:` (valid Turtle)
+    assert "@prefix ex: <http://ex.org/> ." in header
+    assert "@prefix rr: <http://rr/> ." in header
