@@ -43,6 +43,23 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+PROBE_ROWS = 200_000_000
+
+
+def jvm_probe(spark) -> float:
+    """Single-task pure-codegen calibration: one thread sums PROBE_ROWS longs.
+
+    Parallelism-independent (numPartitions=1), allocation-free, JVM-only —
+    its only variable is the VM's instantaneous per-core speed, so a rep
+    whose probe sits far above the run's minimum probe is *identifiable in
+    the artifact* as landing in one of this VM's multi-minute slow phases
+    (3-6x drifts on identical plans, BENCH.md), rather than that claim
+    living only in prose. Recorded per rep in the bench JSON."""
+    t0 = time.time()
+    spark.range(0, PROBE_ROWS, 1, 1).selectExpr("sum(id * 2 + 1)").collect()
+    return round(time.time() - t0, 3)
+
+
 def kg_job(spark, n_pages: int, partitions: int, min_words: int = 240,
            word_spread: int = 160, python_parallelism: int = 8) -> int:
     """The scaling workload: full KG construction plan (extract -> page
@@ -106,16 +123,22 @@ def run_kg_phase(n_pages: int, kg_cores: int) -> dict:
     s8 = get_spark(f"bench-kg-{kg_cores}", master=f"local[{kg_cores}]",
                    shuffle_partitions=32)
     kg_job(s8, 1000, partitions=32, min_words=16, word_spread=24)  # warm-up
+    jvm_probe(s8)  # discard: first probe pays its own codegen/JIT
     print(f"[bench] kg warm-up done at {kg_cores} cores", file=sys.stderr, flush=True)
-    # min of 2 reps: identical plans vary up to 6x across this VM's slow
-    # phases (see BENCH.md); the min is the engine's actual throughput
-    kg_reps = []
+    # min of 3 reps: identical plans vary up to 6x across this VM's slow
+    # phases (see BENCH.md); the min is the engine's actual throughput. Each
+    # rep carries a calibration probe so a 590s outlier rep (BENCH_r02) is
+    # attributable to the VM in the artifact itself.
+    kg_reps: list[float] = []
+    kg_probes: list[float] = []
     n_triples = 0
-    for _ in range(2):
+    for _ in range(3):
+        kg_probes.append(jvm_probe(s8))
         t0 = time.time()
         n_triples = kg_job(s8, n_pages, partitions=32, min_words=16, word_spread=24)
         kg_reps.append(round(time.time() - t0, 3))
-        print(f"[bench] kg_job@{kg_cores}: {kg_reps[-1]}s", file=sys.stderr, flush=True)
+        print(f"[bench] kg_job@{kg_cores}: {kg_reps[-1]}s (probe {kg_probes[-1]}s)",
+              file=sys.stderr, flush=True)
     s8.stop()
     hi_sec = min(kg_reps)
     return {
@@ -124,6 +147,7 @@ def run_kg_phase(n_pages: int, kg_cores: int) -> dict:
         "cores": kg_cores,
         "sec": hi_sec,
         "reps_sec": kg_reps,
+        "probe_sec": kg_probes,
         "triples_per_sec": round(n_triples / hi_sec, 1),
         "pages_per_sec": round(n_pages / hi_sec, 1),
     }
@@ -140,7 +164,7 @@ def _phase_subprocess(phase: str) -> dict:
 
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), phase],
-        capture_output=True, text=True, timeout=2400, env=os.environ.copy(),
+        capture_output=True, text=True, timeout=3600, env=os.environ.copy(),
     )
     sys.stderr.write(out.stderr[-4000:])
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -194,14 +218,21 @@ def main() -> None:
         # ISOLATED process (scripts/matbench.py: fresh JVM, own warm-up, one
         # timed run), reps of the two levels are INTERLEAVED so a VM slow
         # phase (3-6x multi-minute drifts on identical plans) cannot bias one
-        # level, and the per-level estimate is the MEDIAN of >=3 reps. Per-rep
-        # times ship in the JSON so the estimate is auditable.
-        import statistics
+        # level, and the per-level estimate is the MIN of >=5 reps — under
+        # this VM's one-sided contamination (reps are only ever SLOWED, by
+        # multi-minute phases) the median breaks as soon as 2 of 3 reps hit a
+        # phase (BENCH_r02 recorded 0.125 that way); the min of interleaved
+        # isolated reps estimates the uncontaminated time. Each rep also
+        # carries single-thread JVM calibration probes (before/after the
+        # timed run) so contaminated reps are identifiable IN THE ARTIFACT:
+        # probe >> min(probes) == slow phase.
         import subprocess
 
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
         here = os.path.dirname(os.path.abspath(__file__))
         secs: dict[int, list[float]] = {lo: [], hi: []}
+        probes: dict[int, list[list[float]]] = {lo: [], hi: []}
+        par_probes: dict[int, list[float]] = {lo: [], hi: []}
         for rep in range(reps):
             for cores in (lo, hi):
                 out = subprocess.run(
@@ -211,27 +242,55 @@ def main() -> None:
                 )
                 r = json.loads(out.stdout.strip().splitlines()[-1])
                 secs[cores].append(r["sec"])
-                print(f"[bench] mat@{cores} rep{rep}: {r['sec']}s",
+                probes[cores].append(
+                    [r.get("probe_before_sec"), r.get("probe_after_sec")]
+                )
+                par_probes[cores].append(r.get("probe_parallel_sec"))
+                print(f"[bench] mat@{cores} rep{rep}: {r['sec']}s "
+                      f"(probes {probes[cores][-1]} par {par_probes[cores][-1]})",
                       file=sys.stderr, flush=True)
 
-        mat_lo = statistics.median(secs[lo])
-        mat_hi = statistics.median(secs[hi])
+        mat_lo = min(secs[lo])
+        mat_hi = min(secs[hi])
+        all_probes = [p for ps in probes.values() for pair in ps for p in pair
+                      if p is not None]
+        probe_floor = min(all_probes) if all_probes else None
+        # the VM's own ceiling for a hi-way parallel JVM loop: single-thread
+        # codegen probe time / same loop run `hi` copies at once (shuffle-free
+        # — nothing of the engine in it). Any Spark job's measured efficiency
+        # is bounded by this number on this box.
+        par_hi = [p for p in par_probes[hi] if p is not None]
+        vm_ceiling = (
+            round(probe_floor / min(par_hi), 3) if probe_floor and par_hi else None
+        )
         thr_lo, thr_hi = mat_rows / mat_lo, mat_rows / mat_hi
         result["scaling"] = {
             "workload": f"rml_materialize_job({mat_rows} rows: min_by dedup + "
                         "first-match join + multi-predicate explode + minting)",
-            "protocol": f"median of {reps} interleaved single-run processes "
-                        "per level, warm-up per process",
+            "protocol": f"min of {reps} interleaved single-run processes per "
+                        "level (one-sided VM contamination -> min estimator), "
+                        "warm-up per process, single-thread JVM calibration "
+                        "probe before+after each timed run",
             "cores_low": lo,
             "cores_high": hi,
             "sec_low": round(mat_lo, 3),
             "sec_high": round(mat_hi, 3),
             "reps_low_sec": secs[lo],
             "reps_high_sec": secs[hi],
+            "probes_low_sec": probes[lo],
+            "probes_high_sec": probes[hi],
+            "probe_floor_sec": probe_floor,
+            "parallel_probes_low_sec": par_probes[lo],
+            "parallel_probes_high_sec": par_probes[hi],
+            "vm_parallel_ceiling": vm_ceiling,
             "rows_per_sec_low": round(thr_lo, 1),
             "rows_per_sec_high": round(thr_hi, 1),
             "efficiency": round(thr_hi / (thr_lo * (hi / lo)), 3),
         }
+        if vm_ceiling:
+            result["scaling"]["efficiency_vs_vm_ceiling"] = round(
+                result["scaling"]["efficiency"] / vm_ceiling, 3
+            )
 
     result["value"] = round(time.time() - t_all, 3)
     print(json.dumps(result))

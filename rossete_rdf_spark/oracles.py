@@ -399,6 +399,20 @@ FROM region
 # custom stateful streaming op: availableNow single batch == the batch twin
 ORACLES["streaming_sessionize"] = ORACLES["events_sessionize"]
 
+# CC-tier canonicalisation over exact-duplicate edges: the Spark side runs
+# real iterative large-star/small-star CC; with exact edges only, each
+# component is one fingerprint group and its id is the min url, so the
+# canonical survivor set has this closed form
+ORACLES["page_canonical_exact"] = f"""
+WITH p AS (
+  SELECT 'u' || doc_id::VARCHAR AS url, text FROM documents
+  UNION ALL
+  SELECT 'd' || doc_id::VARCHAR AS url, text FROM documents WHERE doc_id % 7 = 0),
+f AS (SELECT url, {_FP} AS fp FROM p)
+SELECT url FROM f
+QUALIFY url = min(url) OVER (PARTITION BY fp)
+"""
+
 # IVF ANN: deterministic centroids (vec_id < 16), nearest-centroid inverted
 # lists, search within the query's own list. Assignment compares RAW doubles
 # (same fold order both engines -> bitwise equal); output sim rounded.

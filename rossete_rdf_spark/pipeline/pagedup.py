@@ -23,15 +23,7 @@ NEAR_DUP_JACCARD = 0.5  # exact-verify bar: candidates below this are dropped
 
 def duplicate_edges(pages_text: DataFrame) -> DataFrame:
     """(src, dst) url pairs that are exact or near duplicates."""
-    fp = pages_text.select(
-        "url", normalized_fingerprint(F.col("text")).alias("fp")
-    )
-    canon = fp.groupBy("fp").agg(F.min("url").alias("dst"), F.count(F.lit(1)).alias("n"))
-    exact = (
-        fp.join(canon.filter(F.col("n") > 1), "fp")
-        .filter(F.col("url") != F.col("dst"))
-        .select(F.col("url").alias("src"), F.col("dst"))
-    )
+    exact = exact_duplicate_edges(pages_text)
     cands = (
         minhash_lsh_pairs(
             pages_text, id_col="url", text_col="text", max_bucket=MAX_BUCKET
@@ -53,18 +45,27 @@ def duplicate_edges(pages_text: DataFrame) -> DataFrame:
         "url", F.explode(ngrams_col(F.col("text"))).alias("ng")
     )
     sizes = grams.groupBy("url").agg(F.count(F.lit(1)).alias("n"))
-    # candidate pairs and the per-page size table are small relative to the
+    # Candidate pairs and the per-page size table are small relative to the
     # corpus BY CONSTRUCTION (LSH bucket cap + band threshold), so broadcast
     # THEM — and only them. Broadcasting the cands⋈src_grams result would
-    # ship pairs × grams-per-page (hundreds of MB on a big corpus); instead
-    # cands broadcasts into the src-gram join (probed in place), and the
-    # (dst, ng) join stays a shuffled hash join on gram rows.
-    src_g = grams.select(F.col("url").alias("src"), "ng")
-    dst_g = grams.select(F.col("url").alias("dst"), "ng")
+    # ship pairs × grams-per-page (hundreds of MB on a big corpus). Shape:
+    #   1. semi-join each gram side down to candidate pages via the
+    #      broadcast pair table (probed in place — the corpus-sized gram
+    #      tables are never shuffled);
+    #   2. equi-join the two REDUCED gram sides, sized by candidate pages
+    #      only, as a shuffle-hash join — hinted, because the planner's SMJ
+    #      default would re-sort the gram rows (the allocation-heavy sort is
+    #      the measured anti-pattern on skewed string keys; BENCH.md).
+    src_g = grams.select(F.col("url").alias("src"), "ng").join(
+        F.broadcast(cands.select("src").distinct()), "src", "leftsemi"
+    )
+    dst_g = grams.select(F.col("url").alias("dst"), "ng").join(
+        F.broadcast(cands.select("dst").distinct()), "dst", "leftsemi"
+    )
     inter = (
         F.broadcast(cands)
         .join(src_g, "src")
-        .join(dst_g, ["dst", "ng"])
+        .join(dst_g.hint("shuffle_hash"), ["dst", "ng"])
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -89,7 +90,55 @@ def duplicate_edges(pages_text: DataFrame) -> DataFrame:
 def canonical_pages(pages_text: DataFrame) -> DataFrame:
     """Drop non-canonical duplicates: CC over duplicate edges, keep one page
     (the min url) per cluster. Output schema == input schema."""
-    comp = connected_components(duplicate_edges(pages_text))
+    return _keep_canonical(pages_text, connected_components(duplicate_edges(pages_text)))
+
+
+def exact_duplicate_edges(pages_text: DataFrame) -> DataFrame:
+    """(src, dst) pairs from EXACT fingerprint duplicates only — the
+    deterministic subset of duplicate_edges, used by the driver-contract
+    query below (near-dup LSH edges have no clean SQL oracle; the exact tier
+    exercises the same CC + canonical-selection path end-to-end)."""
+    fp = pages_text.select("url", normalized_fingerprint(F.col("text")).alias("fp"))
+    canon = fp.groupBy("fp").agg(
+        F.min("url").alias("dst"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        fp.join(canon.filter(F.col("n") > 1), "fp")
+        .filter(F.col("url") != F.col("dst"))
+        .select(F.col("url").alias("src"), F.col("dst"))
+    )
+
+
+def canonical_pages_exact(pages_text: DataFrame) -> DataFrame:
+    """canonical_pages restricted to exact-duplicate edges: runs the REAL
+    iterative large-star/small-star CC (graph/cc.py) over the exact edge
+    set, then keeps one page per component. Because the component id is the
+    min url of each fingerprint group, the result has a closed-form DuckDB
+    oracle (url = min(url) over fingerprint) — this is what promotes the CC
+    tier into the driver's CORRECTNESS gate."""
+    return _keep_canonical(pages_text, connected_components(exact_duplicate_edges(pages_text)))
+
+
+def page_canonical_exact_query(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper for the CC tier. The documents table has no
+    exact duplicates, so the query deterministically plants them — every 7th
+    doc gets a second url with identical text — then runs the full
+    exact-edges -> connected-components -> keep-canonical path and returns
+    the surviving urls. Oracle: url = min(url) per text fingerprint."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def pages(tag: str, flt=None):
+        d = docs.filter(flt) if flt is not None else docs
+        return d.select(
+            F.concat(F.lit(tag), F.col("doc_id").cast("string")).alias("url"),
+            "text",
+        )
+
+    all_pages = pages("u").unionByName(pages("d", (F.col("doc_id") % 7) == 0))
+    return canonical_pages_exact(all_pages).select("url")
+
+
+def _keep_canonical(pages_text: DataFrame, comp: DataFrame) -> DataFrame:
     return (
         pages_text.join(comp, pages_text["url"] == comp["node"], "left")
         .filter(F.col("component").isNull() | (F.col("component") == F.col("url")))

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import kgops, relops, rmlops
 from .oracles import ORACLES
 from .pipeline.multimodal import multimodal_features_query
+from .pipeline.pagedup import page_canonical_exact_query
 from .streaming.events import streaming_hourly_agg_query, streaming_sessionize_query
 from .textops import (
     ann_cosine_topk,
@@ -75,6 +76,8 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_sessionize": streaming_sessionize_query,
     # multimodal binary-column plumbing (mapInPandas feature extraction)
     "multimodal_features": multimodal_features_query,
+    # page-dedup tier through real iterative connected components
+    "page_canonical_exact": page_canonical_exact_query,
     # RML engine end-to-end
     "rml_nation_region_graph": rmlops.rml_nation_region_graph,
     "rml_subject_space_discard": rmlops.rml_subject_space_discard,

@@ -14,6 +14,32 @@ from pyspark.sql import functions as F
 
 _SINK_SEQ = itertools.count()
 
+# State-store count for the stateful contract queries. Stateful operators
+# create ONE state store (with its own checkpoint commit per micro-batch)
+# per shuffle partition, fixed at first query start — so unlike stateless
+# shuffles, over-partitioning is pure per-batch commit overhead. 8 stores
+# saturate this workload; a real deployment sizes this to state volume
+# (stores must fit executor memory), not to core count.
+STATEFUL_SHUFFLE_PARTITIONS = "8"
+
+
+class _stateful_partitions:
+    """Scoped override of spark.sql.shuffle.partitions for the duration of a
+    stateful query start (the store count is latched into the checkpoint at
+    start, so only the start needs the override)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", STATEFUL_SHUFFLE_PARTITIONS
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
 
 def streaming_hourly_agg(
     events: DataFrame, watermark: str = "2 hours"
@@ -64,14 +90,15 @@ def streaming_hourly_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
     out = streaming_hourly_agg(stream)
     name = f"streaming_hourly_agg_sink_{next(_SINK_SEQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stateful_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -168,12 +195,13 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
     out = streaming_sessionize(stream.select("user_id", "ts", "event_id", "value"))
     name = f"streaming_sessionize_sink_{next(_SINK_SEQ)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stateful_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
