@@ -9,7 +9,7 @@ embeddings."""
 from __future__ import annotations
 
 from .kgops import DOC_NS, ENTITY_NS, MIN_ENTITY_DOCS, MIN_MENTION_LEN, ONTO
-from .textops.ann import EMB_NEARDUP_THRESHOLD
+from .textops.ann import EMB_NEARDUP_THRESHOLD, IVF_NPROBE
 from .textops.common import sql_ngrams, sql_words
 from .textops.dedup import (
     BAND_ROWS,
@@ -18,7 +18,14 @@ from .textops.dedup import (
     NGRAM_MAX_DF,
     SIMHASH_BITS,
 )
-from .textops.quality import LANG_MARKERS, LANG_ORDER, TOKEN_RE
+from .textops.quality import (
+    _WINNOW_SEED,
+    LANG_MARKERS,
+    LANG_ORDER,
+    TOKEN_RE,
+    WINNOW_K,
+    WINNOW_W,
+)
 
 RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 XSD_STRING = "<http://www.w3.org/2001/XMLSchema#string>"
@@ -39,6 +46,23 @@ FROM documents GROUP BY 1
 
 ORACLES["doc_fingerprint"] = f"""
 SELECT doc_id, {_FP} AS fingerprint FROM documents
+"""
+
+# winnowing: positional k-gram hash sequence, min per w-window, distinct.
+# Mirrors textops/quality.py winnow_fingerprints exactly (same k-gram join,
+# same seeded md5-prefix hash, same 1-based window starts).
+_WGRAM = " || ' ' || ".join(f"({_WORDS})[i+{j}]" for j in range(WINNOW_K))
+_WHASHES = (
+    f"[('0x' || substr(md5('{_WINNOW_SEED}|' || ({_WGRAM})), 1, 15))::BIGINT "
+    f"for i in range(1, len({_WORDS}) - {WINNOW_K - 2})]"
+)
+ORACLES["doc_winnow_fingerprint"] = f"""
+WITH h AS (SELECT doc_id, {_WHASHES} AS hs FROM documents),
+sel AS (SELECT doc_id,
+               unnest([list_min(hs[i:i+{WINNOW_W - 1}])
+                       for i in range(1, len(hs) - {WINNOW_W - 2})]) AS fp
+        FROM h)
+SELECT DISTINCT doc_id, fp FROM sel
 """
 
 ORACLES["ngram_jaccard_pairs"] = f"""
@@ -421,18 +445,34 @@ _IVF_COS_RAW = (
     " / (sqrt(list_reduce([v[i]::DOUBLE * v[i]::DOUBLE for i in range(1, len(v)+1)], (x, y) -> x + y))"
     " * sqrt(list_reduce([cv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(cv)+1)], (x, y) -> x + y)))"
 )
-ORACLES["ann_ivf_topk"] = f"""
+_IVF_COMMON = f"""
 WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
 sc AS (SELECT e.vec_id AS vid, e.embedding AS v, cent_id, {_IVF_COS_RAW} AS s
        FROM embeddings e CROSS JOIN cent),
-asg AS (SELECT vid, v, cent_id AS cluster FROM
-          (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY s DESC, cent_id) AS rn FROM sc)
-        WHERE rn = 1),
+scr AS (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY s DESC, cent_id) AS rn FROM sc),
+asg AS (SELECT vid, v, cent_id AS cluster FROM scr WHERE rn = 1),
+c AS (SELECT vid AS cand_id, v AS cv, cluster FROM asg)"""
+
+ORACLES["ann_ivf_topk"] = f"""{_IVF_COMMON},
 q AS (SELECT vid AS query_id, v AS qv, cluster FROM asg WHERE vid < 10),
-c AS (SELECT vid AS cand_id, v AS cv, cluster FROM asg),
 scored AS (
   SELECT query_id, cand_id, {_COS} AS sim
   FROM q JOIN c USING (cluster) WHERE query_id <> cand_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
+  FROM scored)
+SELECT query_id, cand_id, sim, rk::BIGINT AS rk FROM ranked WHERE rk <= 3
+"""
+
+# nprobe=2 variant: queries probe their top-nprobe centroid lists; probe
+# ranking uses the same RAW double s (same fold order both engines) and the
+# same (s DESC, cent_id) tie-break as the assignment
+ORACLES["ann_ivf_nprobe_topk"] = f"""{_IVF_COMMON},
+qp AS (SELECT vid AS query_id, v AS qv, cent_id AS cluster FROM scr
+       WHERE vid < 10 AND rn <= {IVF_NPROBE}),
+scored AS (
+  SELECT query_id, cand_id, {_COS} AS sim
+  FROM qp JOIN c USING (cluster) WHERE query_id <> cand_id),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
   FROM scored)

@@ -15,6 +15,7 @@ from .pipeline.pagedup import page_canonical_exact_query
 from .streaming.events import streaming_hourly_agg_query, streaming_sessionize_query
 from .textops import (
     ann_cosine_topk,
+    ann_ivf_nprobe_topk,
     ann_ivf_topk,
     ann_lsh_bucket_topk,
     doc_fingerprint,
@@ -26,6 +27,7 @@ from .textops import (
     quality_score,
     simhash,
     token_count,
+    winnow_fingerprints,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -49,6 +51,7 @@ QUERIES: dict[str, QueryFn] = {
     # training-data ops: dedup family
     "exact_dedup": _docs_op(exact_dedup),
     "doc_fingerprint": _docs_op(doc_fingerprint),
+    "doc_winnow_fingerprint": _docs_op(winnow_fingerprints),
     "ngram_jaccard_pairs": _docs_op(ngram_jaccard_pairs),
     "minhash_lsh_pairs": _docs_op(minhash_lsh_pairs),
     "simhash": _docs_op(simhash),
@@ -60,6 +63,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk": _emb_op(ann_cosine_topk),
     "ann_lsh_bucket_topk": _emb_op(ann_lsh_bucket_topk),
     "ann_ivf_topk": _emb_op(ann_ivf_topk),
+    "ann_ivf_nprobe_topk": _emb_op(ann_ivf_nprobe_topk),
     "embedding_neardup_pairs": _emb_op(embedding_neardup_pairs),
     # KG construction (batch face)
     "kg_mentions": kgops.kg_mentions,

@@ -1,5 +1,6 @@
 from .ann import (  # noqa: F401
     ann_cosine_topk,
+    ann_ivf_nprobe_topk,
     ann_ivf_topk,
     ann_lsh_bucket_topk,
     embedding_neardup_pairs,
@@ -10,4 +11,10 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash,
 )
-from .quality import doc_fingerprint, lang_id, quality_score, token_count  # noqa: F401
+from .quality import (  # noqa: F401
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    winnow_fingerprints,
+)

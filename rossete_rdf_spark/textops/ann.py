@@ -163,6 +163,32 @@ def ann_lsh_bucket_topk(
 
 
 N_CENTROIDS = 16
+IVF_NPROBE = 2
+
+
+def _ivf_assign(emb: DataFrame, n_centroids: int, id_col: str, vec_col: str):
+    """(scored_cent, assigned): per-vector centroid scores and the nearest-
+    centroid assignment. Centroids are the first n_centroids vectors —
+    deterministic so the DuckDB oracle reproduces the assignment
+    bit-for-bit; production plugs k-means centroids into the same plan."""
+    cent = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+    scored_cent = (
+        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(cent))
+        .select(
+            "vid", "v", "cent_id", cosine_col(F.col("v"), F.col("cv")).alias("s")
+        )
+    )
+    # nearest centroid, ties to the smaller cent_id (max over (s, -cent_id))
+    assigned = scored_cent.groupBy("vid").agg(
+        F.max_by(
+            F.col("cent_id"), F.struct(F.col("s"), (-F.col("cent_id")).alias("nc"))
+        ).alias("cluster"),
+        F.first("v").alias("v"),
+    )
+    return scored_cent, assigned
 
 
 def ann_ivf_topk(
@@ -182,23 +208,7 @@ def ann_ivf_topk(
     assignment is a broadcast (tiny centroid table) + one max_by hash
     aggregation per vector — no sort, no all-pairs; search is an equi-join
     co-partitioned on the list id, cost ~ 1/n_centroids of brute force."""
-    cent = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
-    )
-    scored_cent = (
-        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-        .join(F.broadcast(cent))
-        .select(
-            "vid", "v", "cent_id", cosine_col(F.col("v"), F.col("cv")).alias("s")
-        )
-    )
-    # nearest centroid, ties to the smaller cent_id (max over (s, -cent_id))
-    assigned = scored_cent.groupBy("vid").agg(
-        F.max_by(
-            F.col("cent_id"), F.struct(F.col("s"), (-F.col("cent_id")).alias("nc"))
-        ).alias("cluster"),
-        F.first("v").alias("v"),
-    )
+    _scored_cent, assigned = _ivf_assign(emb, n_centroids, id_col, vec_col)
     q = assigned.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"), F.col("v").alias("qv"), "cluster"
     )
@@ -207,6 +217,57 @@ def ann_ivf_topk(
     )
     scored = (
         F.broadcast(q)
+        .join(c, "cluster")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_col(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def ann_ivf_nprobe_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = 3,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with multi-list probing: each query searches its `nprobe`
+    nearest inverted lists instead of only its own (the standard IVF recall
+    knob — candidates near a cell boundary live in a neighboring list).
+
+    Same scale shape as ann_ivf_topk, with the probe table `nprobe` rows per
+    query: still a broadcast (queries x nprobe is tiny) into the co-
+    partitioned list equi-join, cost ~ nprobe/n_centroids of brute force.
+    Candidates belong to exactly one list, so probing several lists unions
+    disjoint candidate sets — no dedup needed before the top-k."""
+    scored_cent, assigned = _ivf_assign(emb, n_centroids, id_col, vec_col)
+    wp = Window.partitionBy("vid").orderBy(F.desc("s"), F.asc("cent_id"))
+    qprobe = (
+        scored_cent.filter(F.col("vid") < n_queries)
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("cent_id").alias("cluster"),
+        )
+    )
+    c = assigned.select(
+        F.col("vid").alias("cand_id"), F.col("v").alias("cv"), "cluster"
+    )
+    scored = (
+        F.broadcast(qprobe)
         .join(c, "cluster")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(

@@ -82,3 +82,54 @@ def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         F.col(id_col).alias("doc_id"),
         normalized_fingerprint(F.col(text_col)).alias("fingerprint"),
     )
+
+
+# Winnowing (rolling-hash) fingerprints — Schleimer/Wilkerson/Aiken, the
+# MOSS scheme: hash every word-k-gram, slide a w-window over the positional
+# hash sequence, keep the min of each window. Guarantees any shared run of
+# >= k+w-1 words between two docs shares a fingerprint, with ~2/(w+1)
+# selection density.
+WINNOW_K = 4  # words per k-gram
+WINNOW_W = 5  # k-gram hashes per selection window
+_WINNOW_SEED = 777
+
+
+def winnow_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp) — distinct selected winnowing fingerprints per doc.
+
+    Everything is per-row array math inside whole-stage codegen (transform/
+    slice/array_min on the POSITIONAL gram sequence — not ngrams_col, which
+    is de-duplicated): no shuffle at all until a consumer aggregates, and
+    the downstream shape (explode -> groupBy fp) is the same inverted-index
+    join family as the other dedup tiers. Docs shorter than k+w-1 words
+    yield no fingerprints. Oracle twin: list comprehensions in oracles.py."""
+    from .dedup import minhash64
+
+    w = words_col(F.col(text_col))
+    n = F.size(w)
+    gram_idx = F.sequence(F.lit(1), F.greatest(n - (WINNOW_K - 1), F.lit(0)))
+    grams = F.transform(
+        gram_idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(WINNOW_K)]
+        ),
+    )
+    hashes = F.transform(grams, lambda g: minhash64(g, _WINNOW_SEED))
+    # PROJECTION BOUNDARY, not style: common-subexpression elimination does
+    # not reach inside higher-order-function lambdas, so referencing the
+    # `hashes` expression from the per-window lambda would re-evaluate the
+    # ENTIRE md5 chain once per window — O(m^2) digests per doc (measured:
+    # minutes instead of seconds at sf0.1). Materializing `hs` as a column
+    # makes it one md5 pass per row.
+    staged = docs.select(F.col(id_col).alias("doc_id"), hashes.alias("hs"))
+    hs = F.col("hs")
+    m = F.size(hs)
+    starts = F.when(
+        m >= WINNOW_W, F.sequence(F.lit(1), m - (WINNOW_W - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sel = F.array_distinct(
+        F.transform(starts, lambda i: F.array_min(F.slice(hs, i, WINNOW_W)))
+    )
+    return staged.select("doc_id", F.explode(sel).alias("fp"))
