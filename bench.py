@@ -131,13 +131,24 @@ def run_kg_phase(n_pages: int, kg_cores: int) -> dict:
     # attributable to the VM in the artifact itself.
     kg_reps: list[float] = []
     kg_probes: list[float] = []
+    kg_par_probes: list[float] = []
     n_triples = 0
     for _ in range(3):
         kg_probes.append(jvm_probe(s8))
+        # parallel probe: the kg job's slow phases live in the VM's
+        # PARALLEL allocation/syscall path, which the single-thread probe
+        # does not see — kg_cores concurrent copies of the codegen loop
+        # expose it (same construction as matbench's parallel probe)
+        t0 = time.time()
+        s8.range(0, PROBE_ROWS * kg_cores, 1, kg_cores).selectExpr(
+            "sum(id * 2 + 1)"
+        ).collect()
+        kg_par_probes.append(round(time.time() - t0, 3))
         t0 = time.time()
         n_triples = kg_job(s8, n_pages, partitions=32, min_words=16, word_spread=24)
         kg_reps.append(round(time.time() - t0, 3))
-        print(f"[bench] kg_job@{kg_cores}: {kg_reps[-1]}s (probe {kg_probes[-1]}s)",
+        print(f"[bench] kg_job@{kg_cores}: {kg_reps[-1]}s (probe "
+              f"{kg_probes[-1]}s par {kg_par_probes[-1]}s)",
               file=sys.stderr, flush=True)
     s8.stop()
     hi_sec = min(kg_reps)
@@ -148,6 +159,7 @@ def run_kg_phase(n_pages: int, kg_cores: int) -> dict:
         "sec": hi_sec,
         "reps_sec": kg_reps,
         "probe_sec": kg_probes,
+        "parallel_probe_sec": kg_par_probes,
         "triples_per_sec": round(n_triples / hi_sec, 1),
         "pages_per_sec": round(n_pages / hi_sec, 1),
     }
@@ -177,7 +189,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000"))
-    kg_cores = int(os.environ.get("SPARK_GRAFT_KG_CORES", min(cpus, 8)))
+    # kg default is 4 cores: this VM inverts allocation/syscall-heavy Spark
+    # stages at >=8 JVM threads (BENCH.md), and the pandas-UDF-heavy kg job
+    # is the worst hit — measured same-day 40s at local[4] vs 359-459s at
+    # local[8] with healthy single-thread probes. Override for real hardware.
+    kg_cores = int(os.environ.get("SPARK_GRAFT_KG_CORES", min(cpus, 4)))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     if len(sys.argv) > 1 and sys.argv[1] == "queries":
