@@ -260,6 +260,35 @@ SELECT p.p_partkey, p.p_name,
 FROM part p JOIN l1 l ON p.p_partkey = l.l_partkey AND l.rn = 1
 """
 
+# as-of join: the oracle pairs each purchase with its most recent prior
+# click via an inequality join + row_number — O(|L|x|R|) per key, fine at
+# oracle scale; the Spark side is the single-shuffle union-and-carry plan.
+# Tie-break at equal ts: greatest click event_id (ORDER BY ts DESC, id DESC).
+ORACLES["events_asof_join"] = """
+WITH pur AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+clk AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT pur.user_id, pur.event_id AS purchase_id,
+         strftime(pur.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         round(pur.value, 2) AS purchase_value,
+         clk.event_id AS click_id,
+         strftime(clk.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+         row_number() OVER (PARTITION BY pur.event_id
+                            ORDER BY clk.ts DESC, clk.event_id DESC) AS rn
+  FROM pur JOIN clk ON pur.user_id = clk.user_id AND clk.ts <= pur.ts)
+SELECT user_id, purchase_id, purchase_ts, purchase_value, click_id, click_ts
+FROM j WHERE rn = 1
+"""
+
+# salted aggregation: the salt is an implementation detail — the oracle is
+# the plain GROUP BY the two-stage plan must reproduce exactly
+ORACLES["mention_counts_salted"] = f"""
+SELECT mention, count(*)::BIGINT AS n_occurrences
+FROM (SELECT unnest({_WORDS}) AS mention FROM documents)
+WHERE length(mention) >= {MIN_MENTION_LEN}
+GROUP BY 1
+"""
+
 ORACLES["events_hourly_agg"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value

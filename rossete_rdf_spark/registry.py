@@ -71,6 +71,8 @@ QUERIES: dict[str, QueryFn] = {
     "kg_doc_triples": kgops.kg_doc_triples,
     # relational / streaming-batch twins
     "rel_first_match_join": relops.rel_first_match_join,
+    "events_asof_join": relops.events_asof_join,
+    "mention_counts_salted": relops.mention_counts_salted,
     "events_hourly_agg": relops.events_hourly_agg,
     "events_sessionize": relops.events_sessionize,
     "tpch_q1_pricing": relops.tpch_q1_pricing,

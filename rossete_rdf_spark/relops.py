@@ -53,6 +53,71 @@ def first_match_join(
     return child.join(p1, cond, "inner")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_sec: int | None = None,
+    right_order: str = "event_id",
+) -> DataFrame:
+    """As-of join: for every left row, the single most recent right row with
+    right.ts <= left.ts on the same key (inner semantics — left rows with no
+    prior right row are dropped). Ties at equal ts break to the greatest
+    right `right_order` value.
+
+    Spark has no native ASOF JOIN; the scalable formulation is the
+    union-and-carry pattern: tag both inputs, union them, and carry the last
+    right-row payload forward with last(ignorenulls) over one window
+    per key ordered by (ts, tag, event_id) — right rows sort before left
+    rows at equal ts, so "<=" is inclusive. ONE shuffle on the key and a
+    per-key local sort (bounded by per-key activity, the natural unit), vs
+    the naive inequality join which is O(|L|x|R|) per key. A time
+    `tolerance_sec` bounds how stale the match may be."""
+    rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    lt = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(
+            right.select(
+                F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in rcols]).alias("s")
+            ).schema["s"].dataType.simpleString()
+        ).alias("__r"),
+    )
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast(lt.schema["__l"].dataType.simpleString()).alias("__l"),
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in rcols]
+        ).alias("__r"),
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__tag", F.col(f"__r.{right_order}"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lt.unionByName(rt).withColumn(
+        "__last_r", F.last("__r", ignorenulls=True).over(w)
+    )
+    out = carried.filter((F.col("__tag") == 1) & F.col("__last_r").isNotNull())
+    if tolerance_sec is not None:
+        out = out.filter(
+            F.col("__ts").cast("long") - F.col("__last_r.__rts").cast("long")
+            <= tolerance_sec
+        )
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__last_r.{c}").alias(f"right_{c}") for c in rcols],
+        F.col("__last_r.__rts").alias(f"right_{right_ts}"),
+    )
+
+
 # --- driver-contract queries ------------------------------------------------
 
 
@@ -79,6 +144,49 @@ def rel_first_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").alias("first_linenumber"),
         F.round("l_quantity", 2).alias("first_quantity"),
     )
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event, the most recent click by the same user at or
+    before the purchase (attribution-style as-of join). Timestamps are
+    rendered as strings and value rounded for engine portability."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(pur, clk, on="user_id", right_cols=["event_id"])
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+        F.col("right_event_id").alias("click_id"),
+        F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
+def mention_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term counts via SALTED two-stage aggregation — the
+    hub-key pattern: stage 1 aggregates on (salt, mention) so a hub term
+    spreads over 16 reducers, stage 2 merges the 16 partials. Results are
+    identical to a plain groupBy (the oracle IS the plain GROUP BY); the
+    point is the shape — at web scale a handful of stopword-like terms
+    would otherwise pin single reducers. AQE skew handling covers joins;
+    salting is the aggregation-side equivalent, made explicit here."""
+    from .textops.common import words_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("mention")
+    ).filter(F.length("mention") >= 4)
+    salted = toks.withColumn("__salt", (F.crc32(F.col("doc_id").cast("string")) % 16))
+    partial = salted.groupBy("__salt", "mention").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return partial.groupBy("mention").agg(F.sum("c").alias("n_occurrences"))
 
 
 def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

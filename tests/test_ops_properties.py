@@ -1,0 +1,61 @@
+"""Semantic property tests for the beyond-reference operators (the oracle
+cross-checks pin exact values; these pin the CLAIMED guarantees)."""
+
+from pyspark.sql import functions as F
+
+from rossete_rdf_spark.relops import asof_join
+from rossete_rdf_spark.textops.quality import WINNOW_K, WINNOW_W, winnow_fingerprints
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Schleimer et al.: two docs sharing a run of >= k+w-1 words MUST share
+    at least one selected fingerprint."""
+    shared = " ".join(f"common{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee " + shared + " ff gg hh ii jj"),
+            (2, "zz yy xx ww vv uu " + shared + " tt ss rr qq pp"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs).collect()
+    s1 = {r.fp for r in fps if r.doc_id == 1}
+    s2 = {r.fp for r in fps if r.doc_id == 2}
+    assert s1 & s2, "shared k+w-1 run must produce a shared fingerprint"
+
+
+def test_winnowing_short_doc_yields_nothing(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(WINNOW_K + WINNOW_W - 2)))],
+        ["doc_id", "text"],
+    )
+    assert winnow_fingerprints(docs).count() == 0
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 1000), (1, 101, 2000), (2, 102, 500)],
+        ["user_id", "event_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, 7, 900), (1, 8, 1000), (1, 9, 1500), (2, 10, 600)],
+        ["user_id", "event_id", "ts"],
+    )
+    rows = {
+        r.event_id: (r.right_event_id, r.right_ts)
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    # left@1000: right@1000 (inclusive <=, beats 900); left@2000: right@1500
+    assert rows[100] == (8, 1000)
+    assert rows[101] == (9, 1500)
+    # user 2's only right row is AFTER the left row -> inner semantics drop it
+    assert 102 not in rows
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(1, 100, 2000)], ["user_id", "event_id", "ts"])
+    right = spark.createDataFrame([(1, 7, 500)], ["user_id", "event_id", "ts"])
+    assert asof_join(left, right, on="user_id").count() == 1
+    assert (
+        asof_join(left, right, on="user_id", tolerance_sec=1000).count() == 0
+    )
