@@ -84,6 +84,12 @@ class EngineConfig:
     # opts into an actual XML source: XPath-style iterator over elements,
     # fields from child-element text / @attributes.
     xml_real: bool = False
+    # strict_ingest_order=True gives CSV/JSON sources the same exact,
+    # split-invariant (file, row-in-file) __rid that parquet sources always
+    # have — at the cost of one per-file window sort at ingest (see
+    # sources.py). Default off: the order only decides first-occurrence
+    # tie-breaks among rows identical in every referenced column.
+    strict_ingest_order: bool = False
 
     def spec_for(self, path: str) -> FileSpec | None:
         """Match by normalized path, like the reference's PathBuf-keyed
@@ -125,4 +131,5 @@ def config_from_json(data: dict, base_dir: str | None = None) -> EngineConfig:
     if of is not None:
         cfg.output_format = str(of).lower()
     cfg.xml_real = bool(data.get("xml-real", False))
+    cfg.strict_ingest_order = bool(data.get("strict-ingest-order", False))
     return cfg

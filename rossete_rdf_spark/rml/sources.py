@@ -23,7 +23,10 @@ offset), so its ORDER depends on how the scan is split. Guarantees:
     (duplicate projected tuples are identical in every referenced column),
     so this only matters for byte-level diffs of text exports, not for graph
     parity. Parquet sources upgrade to exact per-file order via
-    _metadata.row_index below.
+    _metadata.row_index below; CSV/JSON sources upgrade to the same
+    split-invariant (file, row-in-file) order under
+    EngineConfig.strict_ingest_order, paying one per-file window sort at
+    ingest (partitioned by file — parallel across files).
 """
 
 from __future__ import annotations
@@ -59,6 +62,37 @@ def _string_or_empty(col, dtype) -> F.Column:
     return F.coalesce(col.cast("string"), F.lit(""))
 
 
+_META_FP = "__fp"
+_META_BS = "__bs"
+
+
+def _with_rid(df: DataFrame, cols: list, strict: bool) -> DataFrame:
+    """Project `cols` and attach __rid. strict=False: per-split monotonic id
+    (cheap, layout-dependent across splits — module docstring). strict=True:
+    exact (file, row-in-file) order — file hash bucket in the high bits
+    (same scheme as the parquet path), row index from a window partitioned
+    by file and ordered by (block offset, within-task position); the sort is
+    per-file, so a many-file corpus keeps full parallelism."""
+    if not strict:
+        return df.select(*cols).withColumn(RID, F.monotonically_increasing_id())
+    from pyspark.sql.window import Window
+
+    if _META_FP not in df.columns:
+        df = df.select(
+            "*",
+            F.col("_metadata.file_path").alias(_META_FP),
+            F.col("_metadata.file_block_start").alias(_META_BS),
+        )
+    staged = df.select(
+        *cols, _META_FP, _META_BS,
+        F.monotonically_increasing_id().alias("__mono"),
+    )
+    w = Window.partitionBy(_META_FP).orderBy(_META_BS, "__mono")
+    file_key = F.pmod(F.xxhash64(F.col(_META_FP)), F.lit(1 << 22))
+    rid = F.shiftleft(file_key.cast("long"), 40) + F.row_number().over(w).cast("long")
+    return staged.withColumn(RID, rid).drop(_META_FP, _META_BS, "__mono")
+
+
 def _resolve_path(df: DataFrame, path: str):
     """Navigate a dotted path into nested structs; None if absent."""
     cur_type: T.DataType = df.schema
@@ -86,6 +120,9 @@ def _apply_json_iterator(df: DataFrame, iterator: str) -> DataFrame:
     if not path:
         return df
 
+    # ingest-order metadata columns (strict_ingest_order) ride along through
+    # every explode so the post-iterator rows still know their source file
+    keep = [c for c in (_META_FP, _META_BS) if c in df.columns]
     expr = None
     dtype: T.DataType = df.schema
     for seg in path.split("."):
@@ -103,16 +140,16 @@ def _apply_json_iterator(df: DataFrame, iterator: str) -> DataFrame:
         for _ in range(hops):
             if not isinstance(dtype, T.ArrayType):
                 return df.limit(0)
-            df = df.select(F.explode(expr).alias("_it"))
+            df = df.select(*keep, F.explode(expr).alias("_it"))
             expr = F.col("_it")
             dtype = dtype.elementType
 
     if expr is not None:
         if isinstance(dtype, T.StructType):
-            return df.select(expr.alias("_it")).select("_it.*")
+            return df.select(*keep, expr.alias("_it")).select(*keep, "_it.*")
         # scalar leaf: expose it under the last path segment's name
         leaf = path.split(".")[-1].replace("[*]", "") or "_it"
-        return df.select(expr.alias(leaf))
+        return df.select(*keep, expr.alias(leaf))
     return df
 
 
@@ -172,10 +209,19 @@ def load_logical_source(
             )
             for f in fields
         ]
-        return df.select(*cols).withColumn(RID, F.monotonically_increasing_id())
+        return _with_rid(df, cols, bool(config and config.strict_ingest_order))
 
     if fmt == "json":
         df = spark.read.option("multiLine", "true").json(source.source)
+        strict = bool(config and config.strict_ingest_order)
+        if strict:
+            # capture the file metadata BEFORE the iterator explodes away
+            # the scan columns; _apply_json_iterator threads it through
+            df = df.select(
+                "*",
+                F.col("_metadata.file_path").alias(_META_FP),
+                F.col("_metadata.file_block_start").alias(_META_BS),
+            )
         it = (source.iterator or "$").strip()
         if it not in ("$", ""):
             df = _apply_json_iterator(df, it)
@@ -186,7 +232,7 @@ def load_logical_source(
                 cols.append(F.lit("").alias(cmap[f]))
             else:
                 cols.append(_string_or_empty(col, dtype).alias(cmap[f]))
-        return df.select(*cols).withColumn(RID, F.monotonically_increasing_id())
+        return _with_rid(df, cols, strict)
 
     if fmt == "xml":
         if config is not None and config.xml_real:

@@ -220,3 +220,55 @@ def test_write_ttl_prefix_header_is_valid_turtle(spark, tmp_path):
     # bare and colon-suffixed prefix keys both serialize as `name:` (valid Turtle)
     assert "@prefix ex: <http://ex.org/> ." in header
     assert "@prefix rr: <http://rr/> ." in header
+
+
+def test_strict_ingest_order_multi_file_csv(spark, tmp_path):
+    from rossete_rdf_spark.rml.ast import LogicalSource
+    from rossete_rdf_spark.rml.config import EngineConfig
+    from rossete_rdf_spark.rml.sources import load_logical_source as load_source
+
+    d = tmp_path / "csvdir"
+    d.mkdir()
+    (d / "a.csv").write_text("id,name\n1,alpha\n2,beta\n3,gamma\n")
+    (d / "b.csv").write_text("id,name\n4,delta\n5,epsilon\n")
+    src = LogicalSource(source=str(d), fmt="csv", iterator=None)
+
+    df = load_source(
+        spark, src, ["id", "name"], EngineConfig(strict_ingest_order=True)
+    )
+    rows = sorted(
+        [(r["f_id"], r["__rid"]) for r in df.collect()], key=lambda t: t[1]
+    )
+    # within each file, __rid strictly follows row order; the high bits are
+    # the per-file key so each file's rows are contiguous in rid order
+    by_file = {}
+    for fid, rid in rows:
+        by_file.setdefault(rid >> 40, []).append((rid & ((1 << 40) - 1), fid))
+    assert len(by_file) == 2
+    for entries in by_file.values():
+        row_idx = [e[0] for e in entries]
+        assert row_idx == sorted(row_idx) == list(range(1, len(entries) + 1))
+    ids_in_file = {tuple(e[1] for e in v) for v in by_file.values()}
+    assert ids_in_file == {("1", "2", "3"), ("4", "5")}
+
+
+def test_strict_ingest_order_json_iterator(spark, tmp_path):
+    from rossete_rdf_spark.rml.ast import LogicalSource
+    from rossete_rdf_spark.rml.config import EngineConfig
+    from rossete_rdf_spark.rml.sources import load_logical_source as load_source
+
+    d = tmp_path / "jsondir"
+    d.mkdir()
+    (d / "x.json").write_text('{"rows": [{"id": "1"}, {"id": "2"}]}')
+    src = LogicalSource(source=str(d), fmt="json", iterator="$.rows[*]")
+    df = load_source(spark, src, ["id"], EngineConfig(strict_ingest_order=True))
+    got = sorted((r["f_id"], r["__rid"] & ((1 << 40) - 1)) for r in df.collect())
+    assert got == [("1", 1), ("2", 2)]
+
+
+def test_strict_ingest_order_config_key():
+    from rossete_rdf_spark.rml.config import config_from_json
+
+    cfg = config_from_json({"strict-ingest-order": True})
+    assert cfg.strict_ingest_order is True
+    assert config_from_json({}).strict_ingest_order is False
