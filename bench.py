@@ -108,8 +108,12 @@ def kg_job(spark, n_pages: int, partitions: int, min_words: int = 240,
 def run_queries_phase(sf_dir: str, cpus: int) -> dict:
     timings: dict[str, float] = {}
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
-    # warm-up: pay codegen/Arrow/scan-listing startup outside the measurements
+    # warm-up: pay codegen/Arrow/scan-listing startup outside the measurements,
+    # and the Structured-Streaming machinery (state-store providers, stream
+    # execution threads, python state workers) via a tiny-sf streaming run —
+    # one-time costs, not per-query engine work
     _force(QUERIES["token_count"](spark, sf_dir))
+    QUERIES["streaming_sessionize"](spark, "/root/testdata/sf0.001").count()
     for name in HEADLINE:
         t0 = time.time()
         _force(QUERIES[name](spark, sf_dir))

@@ -289,6 +289,16 @@ WHERE length(mention) >= {MIN_MENTION_LEN}
 GROUP BY 1
 """
 
+ORACLES["events_moving_avg"] = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       round(avg(value) OVER w, 6) AS mavg_3,
+       (count(*) OVER w)::BIGINT AS n_in_frame
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
 ORACLES["events_hourly_agg"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value

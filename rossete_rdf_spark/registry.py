@@ -72,6 +72,7 @@ QUERIES: dict[str, QueryFn] = {
     # relational / streaming-batch twins
     "rel_first_match_join": relops.rel_first_match_join,
     "events_asof_join": relops.events_asof_join,
+    "events_moving_avg": relops.events_moving_avg,
     "mention_counts_salted": relops.mention_counts_salted,
     "events_hourly_agg": relops.events_hourly_agg,
     "events_sessionize": relops.events_sessionize,

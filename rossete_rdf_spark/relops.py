@@ -189,6 +189,29 @@ def mention_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("mention").agg(F.sum("c").alias("n_occurrences"))
 
 
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-event moving average of `value` (frame-based window
+    aggregate — the rolling-feature pattern of a training-data pipeline).
+    One shuffle on user_id with a per-user local sort; the frame (2
+    preceding + current) is bounded, so state per row is O(frame), and a
+    user's history never leaves its partition. Hub users are naturally
+    bounded by per-user activity (the salting pattern is for unbounded hub
+    KEYS; a per-entity time series is the partition unit here)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round(F.avg("value").over(w), 6).alias("mavg_3"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_frame"),
+    )
+
+
 def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h window per event_type: count + sum(value). The batch twin
     of the streaming variant in streaming/ (same grouping expression)."""
