@@ -289,6 +289,24 @@ WHERE length(mention) >= {MIN_MENTION_LEN}
 GROUP BY 1
 """
 
+ORACLES["events_top_spenders"] = """
+WITH per_user AS (
+  SELECT event_type, user_id, round(sum(value), 2) AS total_value
+  FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY total_value DESC, user_id ASC) AS rk
+      FROM per_user)
+SELECT event_type, user_id, total_value, rk::BIGINT AS rk FROM r WHERE rk <= 3
+"""
+
+ORACLES["events_value_quantiles"] = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1
+"""
+
 ORACLES["events_moving_avg"] = """
 SELECT user_id, event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,

@@ -73,6 +73,8 @@ QUERIES: dict[str, QueryFn] = {
     "rel_first_match_join": relops.rel_first_match_join,
     "events_asof_join": relops.events_asof_join,
     "events_moving_avg": relops.events_moving_avg,
+    "events_top_spenders": relops.events_top_spenders,
+    "events_value_quantiles": relops.events_value_quantiles,
     "mention_counts_salted": relops.mention_counts_salted,
     "events_hourly_agg": relops.events_hourly_agg,
     "events_sessionize": relops.events_sessionize,

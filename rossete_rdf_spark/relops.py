@@ -212,6 +212,60 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_col, k: int, desc: bool = True
+) -> DataFrame:
+    """Generic per-group top-k: ONE shuffle on the group keys + a bounded
+    per-group sort (row_number window, then rk <= k). At scale the shuffle
+    carries only the projected columns and AQE handles group skew; for
+    extreme hub groups a pre-aggregation or salted partial top-k (take k per
+    salt, then k-of-k) composes on top of this same primitive."""
+    from pyspark.sql.window import Window as W
+
+    order = F.desc(order_col) if desc else F.asc(order_col)
+    w = W.partitionBy(*group_cols).orderBy(order)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .withColumn("rk", F.col("rk").cast("long"))
+    )
+
+
+def events_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by total value within each event type: aggregate first
+    (hash agg with map-side partials), THEN rank the (small) per-type
+    aggregate — the shuffled data is one row per (type, user), never the
+    raw events."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("total_value")
+    )
+    ranked = top_k_per_group(
+        per_user.withColumn(
+            "__ord", F.struct(F.col("total_value"), (-F.col("user_id")).alias("u"))
+        ),
+        ["event_type"],
+        "__ord",
+        k=3,
+    )
+    return ranked.select("event_type", "user_id", "total_value", "rk")
+
+
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of value per event type. Spark's `percentile` is
+    the EXACT aggregate (collects the group's values — fine for bounded
+    groups; for unbounded cardinality swap in approx_percentile, which has
+    no cross-engine oracle). Both engines interpolate identically on the
+    sorted doubles, so rounded values hash-match."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h window per event_type: count + sum(value). The batch twin
     of the streaming variant in streaming/ (same grouping expression)."""
