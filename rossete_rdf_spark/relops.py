@@ -218,8 +218,8 @@ def top_k_per_group(
     """Generic per-group top-k: ONE shuffle on the group keys + a bounded
     per-group sort (row_number window, then rk <= k). At scale the shuffle
     carries only the projected columns and AQE handles group skew; for
-    extreme hub groups a pre-aggregation or salted partial top-k (take k per
-    salt, then k-of-k) composes on top of this same primitive."""
+    extreme hub groups use salted_top_k_per_group below (take k per salt,
+    then k-of-k), which composes on this same primitive."""
     from pyspark.sql.window import Window as W
 
     order = F.desc(order_col) if desc else F.asc(order_col)
@@ -229,6 +229,30 @@ def top_k_per_group(
         .filter(F.col("rk") <= k)
         .withColumn("rk", F.col("rk").cast("long"))
     )
+
+
+def salted_top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    n_salts: int = 16,
+    desc: bool = True,
+) -> DataFrame:
+    """Hub-safe top-k: stage 1 takes the top k within every (salt, group)
+    slice — a hub group's rows spread over n_salts reducers, each sorting
+    only its slice — stage 2 ranks the surviving k x n_salts candidates per
+    group. Correct for any k (each group's true top-k rows all survive
+    stage 1: a row beaten into rank > k within its own salt slice is beaten
+    by k rows of its own group globally). Same output as top_k_per_group;
+    use when single groups are too hot for one reducer."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(order_col).cast("string")), F.lit(n_salts))
+    )
+    partial = top_k_per_group(
+        salted, [*group_cols, "__salt"], order_col, k, desc=desc
+    ).drop("rk", "__salt")
+    return top_k_per_group(partial, group_cols, order_col, k, desc=desc)
 
 
 def events_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:

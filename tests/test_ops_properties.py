@@ -59,3 +59,23 @@ def test_asof_join_tolerance(spark):
     assert (
         asof_join(left, right, on="user_id", tolerance_sec=1000).count() == 0
     )
+
+
+def test_salted_top_k_matches_unsalted(spark):
+    from rossete_rdf_spark.relops import salted_top_k_per_group, top_k_per_group
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("g"),
+        F.col("id").alias("item"),
+        # unique order values (ties make the winner SET ambiguous for both)
+        ((F.col("id") * 37) % 3001).alias("score"),
+    )
+    plain = {
+        (r.g, r.item, r.score, r.rk)
+        for r in top_k_per_group(df, ["g"], "score", 5).collect()
+    }
+    salted = {
+        (r.g, r.item, r.score, r.rk)
+        for r in salted_top_k_per_group(df, ["g"], "score", 5, n_salts=8).collect()
+    }
+    assert plain == salted and len(plain) == 15
