@@ -81,8 +81,16 @@ def connected_components(
     running 64-partition shuffles over a few thousand edges is pure
     stage-overhead (measured 13.4s -> 5.2s on a 700-edge graph going
     64 -> 8). The edge count from the first convergence signature sizes the
-    loop (~500k edges/partition, floor 8, never above the session setting);
-    pass shuffle_partitions to pin it. The session value is restored after."""
+    loop (~500k edges/partition, floor 8, but never above the session
+    setting — the session value wins when it is below the floor); pass
+    shuffle_partitions to pin it. The session value is restored after.
+
+    NOT thread-safe: the sizing works by scoping the session-global
+    spark.sql.shuffle.partitions for the duration of the loop, so a
+    concurrent query on the same SparkSession would silently plan with the
+    loop's (tiny) partition count. Run CC serially per session, or pass
+    shuffle_partitions equal to the session setting to keep the conf
+    untouched."""
     spark = edges.sparkSession
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -101,7 +109,7 @@ def connected_components(
     target = (
         shuffle_partitions
         if shuffle_partitions is not None
-        else max(8, min(cur, (sig[0] or 1) // 500_000 + 1))
+        else min(cur, max(8, (sig[0] or 1) // 500_000 + 1))
     )
     try:
         if target != cur:

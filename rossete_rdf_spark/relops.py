@@ -231,6 +231,14 @@ def top_k_per_group(
     )
 
 
+def _row_salt(df: DataFrame, n_salts: int):
+    """Row-distinct salt expression: xxhash64 over every column. Exact
+    duplicate rows share a slice (harmless — they are interchangeable in any
+    top-k); everything else, including rows tied on the ranking value,
+    spreads uniformly over n_salts slices."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+
+
 def salted_top_k_per_group(
     df: DataFrame,
     group_cols: list[str],
@@ -242,13 +250,17 @@ def salted_top_k_per_group(
     """Hub-safe top-k: stage 1 takes the top k within every (salt, group)
     slice — a hub group's rows spread over n_salts reducers, each sorting
     only its slice — stage 2 ranks the surviving k x n_salts candidates per
-    group. Correct for any k (each group's true top-k rows all survive
-    stage 1: a row beaten into rank > k within its own salt slice is beaten
-    by k rows of its own group globally). Same output as top_k_per_group;
-    use when single groups are too hot for one reducer."""
-    salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(order_col).cast("string")), F.lit(n_salts))
-    )
+    group. Correct for any k and ANY row partition (a row beaten into rank
+    > k within its own salt slice is beaten by k rows of its own group
+    globally), so the salt is a hash of EVERY column — row-distinct, which
+    keeps tied order values spreading across slices (salting on the order
+    value would collapse the common hub case of thousands of rows sharing
+    one score onto a single reducer). Same SET of surviving rows as
+    top_k_per_group; for bit-identical output under ties make order_col
+    unique per group (pack a tie-break into it) — otherwise the winners
+    among boundary-tied rows are arbitrary in BOTH variants, as for any
+    top-k. Use when single groups are too hot for one reducer."""
+    salted = df.withColumn("__salt", _row_salt(df, n_salts))
     partial = top_k_per_group(
         salted, [*group_cols, "__salt"], order_col, k, desc=desc
     ).drop("rk", "__salt")

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass, field
 
 
@@ -46,22 +47,25 @@ _WHATWG_TO_JAVA: dict[str, str] = {
 }
 
 
+# Identity WHATWG labels that java.nio also accepts verbatim. An explicit
+# whitelist, NOT a codecs.lookup probe: Python's registry admits Python-only
+# transforms (BASE64, ROT13, PUNYCODE, QUOPRI, UNICODE_ESCAPE, ...) that
+# java.nio rejects with UnsupportedCharsetException mid-scan — those must take
+# the reference's unknown->UTF-8 arm instead.
+_IDENTITY_LABELS = re.compile(
+    r"^(UTF-8|UTF-16(BE|LE)|US-ASCII|ASCII|LATIN-?1"
+    r"|ISO-8859-(1[0-6]?|[2-9])|IBM866|KOI8-[RU]|WINDOWS-125[0-8]"
+    r"|GBK|GB18030|GB2312|BIG5-HKSCS|EUC-JP|ISO-2022-JP|EUC-KR|TIS-620)$"
+)
+
+
 def canonical_encoding(name: str) -> str:
     """WHATWG label -> java.nio charset name, with the reference's
     unknown->UTF-8 default (src/config.rs:378-425)."""
-    import codecs
-
     up = str(name).upper()
     if up in _WHATWG_TO_JAVA:
         return _WHATWG_TO_JAVA[up]
-    try:
-        # python's codec registry is a good proxy for java.nio coverage of
-        # the remaining (identity) WHATWG labels; both know the ISO-8859-x,
-        # EUC-*, GB*, IBM866, KOI8-R/U, windows-125x families
-        codecs.lookup(up)
-        return up
-    except LookupError:
-        return "UTF-8"
+    return up if _IDENTITY_LABELS.match(up) else "UTF-8"
 
 
 @dataclass(frozen=True)

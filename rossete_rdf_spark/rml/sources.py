@@ -66,10 +66,27 @@ _META_FP = "__fp"
 _META_BS = "__bs"
 
 
+def _file_key_table(df: DataFrame, path_col) -> DataFrame:
+    """(__fp, __fkey): dense rank over the DISTINCT file-path set — the
+    collision-FREE per-file key for the exact-__rid schemes below. A
+    truncated-hash bucket (the previous 22-bit scheme) collides with ~1%
+    odds at ~400 files and near-certainly at web-scale file counts; a
+    collision gives two files identical rid high bits, i.e. duplicate rids,
+    making the min_by first-occurrence tie-break nondeterministic — exactly
+    what the exact modes exist to rule out. The rank window sorts #files
+    rows (never data rows) and the keyed table broadcasts back onto the
+    scan; the distinct itself reads only the file-path metadata column."""
+    from pyspark.sql.window import Window
+
+    files = df.select(path_col.alias(_META_FP)).distinct()
+    w = Window.orderBy(_META_FP)
+    return files.withColumn("__fkey", F.dense_rank().over(w).cast("long"))
+
+
 def _with_rid(df: DataFrame, cols: list, strict: bool) -> DataFrame:
     """Project `cols` and attach __rid. strict=False: per-split monotonic id
     (cheap, layout-dependent across splits — module docstring). strict=True:
-    exact (file, row-in-file) order — file hash bucket in the high bits
+    exact (file, row-in-file) order — dense per-file key in the high bits
     (same scheme as the parquet path), row index from a window partitioned
     by file and ordered by (block offset, within-task position); the sort is
     per-file, so a many-file corpus keeps full parallelism."""
@@ -87,10 +104,11 @@ def _with_rid(df: DataFrame, cols: list, strict: bool) -> DataFrame:
         *cols, _META_FP, _META_BS,
         F.monotonically_increasing_id().alias("__mono"),
     )
+    fkeys = _file_key_table(staged, F.col(_META_FP))
+    staged = staged.join(F.broadcast(fkeys), _META_FP)
     w = Window.partitionBy(_META_FP).orderBy(_META_BS, "__mono")
-    file_key = F.pmod(F.xxhash64(F.col(_META_FP)), F.lit(1 << 22))
-    rid = F.shiftleft(file_key.cast("long"), 40) + F.row_number().over(w).cast("long")
-    return staged.withColumn(RID, rid).drop(_META_FP, _META_BS, "__mono")
+    rid = F.shiftleft(F.col("__fkey"), 40) + F.row_number().over(w).cast("long")
+    return staged.withColumn(RID, rid).drop(_META_FP, _META_BS, "__mono", "__fkey")
 
 
 def _resolve_path(df: DataFrame, path: str):
@@ -263,12 +281,18 @@ def load_logical_source(
         if is_parquet:
             # exact, split-invariant ingest order: (file, row-in-file) via the
             # parquet _metadata columns — cross-cluster-stable rowid semantics.
-            # file key = 22-bit hash bucket (deterministic; a bucket collision
-            # merely ties two files' ordering, still layout-independent),
-            # shifted clear of the 40-bit row index — bitwise, ANSI-overflow-safe
-            file_key = F.pmod(F.xxhash64(F.col("_metadata.file_path")), F.lit(1 << 22))
-            rid = F.shiftleft(file_key.cast("long"), 40) + F.col("_metadata.row_index")
-            return df.select(*cols, rid.alias(RID))
+            # file key = dense rank over the distinct file paths (collision-
+            # free; see _file_key_table), shifted clear of the 40-bit row
+            # index — bitwise, ANSI-overflow-safe. The key table is tiny and
+            # broadcast; the distinct reads only parquet footers.
+            fkeys = _file_key_table(df, F.col("_metadata.file_path"))
+            staged = df.select(
+                *cols,
+                F.col("_metadata.file_path").alias(_META_FP),
+                F.col("_metadata.row_index").alias("__ri"),
+            ).join(F.broadcast(fkeys), _META_FP)
+            rid = F.shiftleft(F.col("__fkey"), 40) + F.col("__ri")
+            return staged.withColumn(RID, rid).drop(_META_FP, "__fkey", "__ri")
         return df.select(*cols).withColumn(RID, F.monotonically_increasing_id())
 
     raise ValueError(f"unsupported source format: {fmt}")

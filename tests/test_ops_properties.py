@@ -79,3 +79,31 @@ def test_salted_top_k_matches_unsalted(spark):
         for r in salted_top_k_per_group(df, ["g"], "score", 5, n_salts=8).collect()
     }
     assert plain == salted and len(plain) == 15
+
+
+def test_salted_top_k_heavy_ties_spread_and_valid(spark):
+    """The hub pattern salting exists for: thousands of rows in one group
+    tied on the order value. The row-distinct salt must (a) actually spread
+    the tied rows over the slices and (b) still return a valid top-k —
+    winners among boundary-tied rows are arbitrary in ANY top-k, but the
+    score multiset is not."""
+    from rossete_rdf_spark.relops import (
+        _row_salt,
+        salted_top_k_per_group,
+        top_k_per_group,
+    )
+
+    n_salts = 8
+    df = spark.range(6000).select(
+        F.lit(0).alias("g"),
+        F.col("id").alias("item"),
+        (F.col("id") % 3).alias("score"),  # 3 distinct values, 2000 rows each
+    )
+    used = df.withColumn("s", _row_salt(df, n_salts)).select("s").distinct().count()
+    assert used == n_salts, "tied order values must not collapse the salt"
+    plain = sorted(r.score for r in top_k_per_group(df, ["g"], "score", 5).collect())
+    salted = sorted(
+        r.score
+        for r in salted_top_k_per_group(df, ["g"], "score", 5, n_salts=n_salts).collect()
+    )
+    assert plain == salted == [2, 2, 2, 2, 2]
