@@ -9,7 +9,10 @@ embeddings."""
 from __future__ import annotations
 
 from .kgops import DOC_NS, ENTITY_NS, MIN_ENTITY_DOCS, MIN_MENTION_LEN, ONTO
-from .textops.ann import EMB_NEARDUP_THRESHOLD, IVF_NPROBE
+from .pipeline.pagedup import MAX_BUCKET as PAGE_MAX_BUCKET
+from .pipeline.pagedup import MIN_BANDS as PAGE_MIN_BANDS
+from .pipeline.pagedup import NEAR_DUP_JACCARD as PAGE_NEAR_DUP_JACCARD
+from .textops.ann import EMB_NEARDUP_THRESHOLD, IVF_NPROBE, KMEANS_ITERS
 from .textops.common import sql_ngrams, sql_words
 from .textops.dedup import (
     BAND_ROWS,
@@ -260,6 +263,16 @@ SELECT p.p_partkey, p.p_name,
 FROM part p JOIN l1 l ON p.p_partkey = l.l_partkey AND l.rn = 1
 """
 
+# runtime bloom-filter join: the filter is a pure pruning optimization, so
+# the oracle is the plain selective join + aggregate
+ORACLES["rel_runtime_filter_join"] = """
+SELECT p_brand, p_size, count(*)::BIGINT AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#13'
+GROUP BY 1, 2
+"""
+
 # as-of join: the oracle pairs each purchase with its most recent prior
 # click via an inequality join + row_number — O(|L|x|R|) per key, fine at
 # oracle scale; the Spark side is the single-shuffle union-and-carry plan.
@@ -494,6 +507,64 @@ SELECT url FROM f
 QUALIFY url = min(url) OVER (PARTITION BY fp)
 """
 
+# NEAR-DUP tier through the full LSH path: replays pagedup.duplicate_edges
+# exactly — exact fingerprint edges, MinHash banding (same md5 hash family,
+# 4 bands of 2), the band-bucket size cap, the >=2-band agreement, the
+# inverted-index exact-Jaccard verify — then closes connected components with
+# a recursive min-label reachability CTE (components are small by
+# construction, so the transitive closure is cheap at oracle scale; the
+# Spark side runs the real iterative large-star/small-star loop).
+_pl_minhash_cols = ", ".join(
+    f"min(('0x' || substr(md5('{i}|' || ng), 1, 15))::BIGINT) AS h{i}"
+    for i in range(N_HASHES)
+)
+_pl_band_selects = " UNION ALL ".join(
+    f"SELECT url, {b} AS band, "
+    f"md5(h{b * BAND_ROWS}::VARCHAR || '|' || h{b * BAND_ROWS + 1}::VARCHAR) AS key FROM psig"
+    for b in range(N_HASHES // BAND_ROWS)
+)
+ORACLES["page_canonical_lsh"] = f"""
+WITH RECURSIVE
+p AS (
+  SELECT 'u' || doc_id::VARCHAR AS url, text FROM documents
+  UNION ALL
+  SELECT 'n' || doc_id::VARCHAR AS url, regexp_replace(text, '^\\S+', 'xsubx') AS text
+  FROM documents WHERE doc_id % 11 = 0),
+fpt AS (SELECT url, {_FP} AS fp FROM p),
+fmin AS (SELECT fp, min(url) AS m, count(*) AS n FROM fpt GROUP BY 1),
+exact AS (SELECT f.url AS src, fm.m AS dst FROM fpt f JOIN fmin fm ON f.fp = fm.fp
+          WHERE fm.n > 1 AND f.url <> fm.m),
+pg AS (SELECT url, unnest({_NGRAMS}) AS ng FROM p),
+psig AS (SELECT url, {_pl_minhash_cols} FROM pg GROUP BY 1),
+bands0 AS ({_pl_band_selects}),
+bands AS (SELECT url, band, key FROM
+            (SELECT *, count(*) OVER (PARTITION BY band, key) AS bn FROM bands0)
+          WHERE bn <= {PAGE_MAX_BUCKET}),
+cand AS (SELECT a.url AS src, b.url AS dst
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.url < b.url
+         GROUP BY 1, 2 HAVING count(*) >= {PAGE_MIN_BANDS}),
+sizes AS (SELECT url, count(*) AS n FROM pg GROUP BY 1),
+inter AS (SELECT c.src, c.dst, count(*) AS cnt
+          FROM cand c
+          JOIN pg ga ON ga.url = c.src
+          JOIN pg gb ON gb.url = c.dst AND gb.ng = ga.ng
+          GROUP BY 1, 2),
+near AS (SELECT it.src, it.dst FROM inter it
+         JOIN sizes sa ON sa.url = it.src
+         JOIN sizes sb ON sb.url = it.dst
+         WHERE it.cnt / (sa.n + sb.n - it.cnt) >= {PAGE_NEAR_DUP_JACCARD}),
+e AS (SELECT src, dst FROM exact UNION SELECT src, dst FROM near),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY 1)
+SELECT p.url FROM p LEFT JOIN comp ON comp.node = p.url
+WHERE comp.component IS NULL OR comp.component = p.url
+"""
+
 # IVF ANN: deterministic centroids (vec_id < 16), nearest-centroid inverted
 # lists, search within the query's own list. Assignment compares RAW doubles
 # (same fold order both engines -> bitwise equal); output sim rounded.
@@ -520,6 +591,50 @@ ranked AS (
   FROM scored)
 SELECT query_id, cand_id, sim, rk::BIGINT AS rk FROM ranked WHERE rk <= 3
 """
+
+# k-means IVF: replays _kmeans_centroids' fixed trajectory (first-16 init,
+# KMEANS_ITERS Lloyd iterations) then searches the trained lists. Centroid
+# means use the identical deterministic fold both engines run — member values
+# sorted by vid, sequential sum (DuckDB list_reduce((a,b)->a+b) == Spark
+# aggregate(0.0, +) bit-for-bit since 0.0+x1 == x1), rounded to 6 dp — so the
+# trained centroids, the assignment, and the search all match bitwise.
+_KM_CENT0 = """cent0 AS (SELECT vec_id AS cent_id,
+       [embedding[i]::DOUBLE for i in range(1, len(embedding)+1)] AS cv
+     FROM embeddings WHERE vec_id < 16)"""
+
+
+def _km_iter(t: int) -> str:
+    return f"""sc{t} AS (SELECT e.vec_id AS vid, e.embedding AS v, cent_id, {_IVF_COS_RAW} AS s
+       FROM embeddings e CROSS JOIN cent{t - 1}),
+scr{t} AS (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY s DESC, cent_id) AS rn FROM sc{t}),
+asg{t} AS (SELECT vid, v, cent_id AS cluster FROM scr{t} WHERE rn = 1),
+memb{t} AS (SELECT vid, cluster,
+       unnest([{{'p': i, 'x': v[i]::DOUBLE}} for i in range(1, len(v)+1)]) AS u
+     FROM asg{t}),
+comp{t} AS (SELECT cluster, u.p AS pos,
+       round(list_reduce(list(u.x ORDER BY vid), (a, b) -> a + b) / count(*), 6) AS m
+     FROM memb{t} GROUP BY 1, 2),
+cent{t} AS (SELECT cluster AS cent_id, list(m ORDER BY pos) AS cv FROM comp{t} GROUP BY 1)"""
+
+
+_KM_T = KMEANS_ITERS
+ORACLES["ann_ivf_kmeans_topk"] = (
+    "WITH "
+    + ",\n".join([_KM_CENT0] + [_km_iter(t) for t in range(1, _KM_T + 1)])
+    + f""",
+scF AS (SELECT e.vec_id AS vid, e.embedding AS v, cent_id, {_IVF_COS_RAW} AS s
+        FROM embeddings e CROSS JOIN cent{_KM_T}),
+scrF AS (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY s DESC, cent_id) AS rn FROM scF),
+asgF AS (SELECT vid, v, cent_id AS cluster FROM scrF WHERE rn = 1),
+cF AS (SELECT vid AS cand_id, v AS cv, cluster FROM asgF),
+qF AS (SELECT vid AS query_id, v AS qv, cluster FROM asgF WHERE vid < 10),
+scoredF AS (SELECT query_id, cand_id, {_COS} AS sim
+            FROM qF JOIN cF USING (cluster) WHERE query_id <> cand_id),
+rankedF AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
+            FROM scoredF)
+SELECT query_id, cand_id, sim, rk::BIGINT AS rk FROM rankedF WHERE rk <= 3
+"""
+)
 
 # nprobe=2 variant: queries probe their top-nprobe centroid lists; probe
 # ranking uses the same RAW double s (same fold order both engines) and the

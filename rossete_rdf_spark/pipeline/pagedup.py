@@ -146,6 +146,30 @@ def page_canonical_exact_query(spark, sf_dir: str) -> DataFrame:
     return canonical_pages_exact(all_pages).select("url")
 
 
+def page_canonical_lsh_query(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper for the NEAR-DUP tier — the full
+    duplicate_edges path that page_canonical_exact cannot reach: capped
+    MinHash-LSH banding, >=2-band agreement, inverted-index exact-Jaccard
+    verification, then real iterative CC. The corpus has no near-duplicates,
+    so the query plants them deterministically: every 11th doc gets a twin
+    with the first word substituted (word-level trigrams lose only the one
+    leading gram, so the planted Jaccard is (w-3)/(w-1) — far above the 0.5
+    bar at any doc length >= the corpus minimum). The oracle replays the
+    identical LSH pipeline in SQL (same md5 hash family, banding, bucket
+    cap, band threshold, Jaccard verify) and closes the components with a
+    recursive min-label reachability CTE — so every planted OR incidental
+    collision resolves identically on both engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    orig = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"), "text"
+    )
+    twin = docs.filter((F.col("doc_id") % 11) == 0).select(
+        F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("url"),
+        F.regexp_replace("text", r"^\S+", "xsubx").alias("text"),
+    )
+    return canonical_pages(orig.unionByName(twin)).select("url")
+
+
 def _keep_canonical(pages_text: DataFrame, comp: DataFrame) -> DataFrame:
     return (
         pages_text.join(comp, pages_text["url"] == comp["node"], "left")

@@ -11,10 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from . import kgops, relops, rmlops
 from .oracles import ORACLES
 from .pipeline.multimodal import multimodal_features_query
-from .pipeline.pagedup import page_canonical_exact_query
+from .pipeline.pagedup import page_canonical_exact_query, page_canonical_lsh_query
 from .streaming.events import streaming_hourly_agg_query, streaming_sessionize_query
 from .textops import (
     ann_cosine_topk,
+    ann_ivf_kmeans_topk,
     ann_ivf_nprobe_topk,
     ann_ivf_topk,
     ann_lsh_bucket_topk,
@@ -64,6 +65,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_lsh_bucket_topk": _emb_op(ann_lsh_bucket_topk),
     "ann_ivf_topk": _emb_op(ann_ivf_topk),
     "ann_ivf_nprobe_topk": _emb_op(ann_ivf_nprobe_topk),
+    "ann_ivf_kmeans_topk": _emb_op(ann_ivf_kmeans_topk),
     "embedding_neardup_pairs": _emb_op(embedding_neardup_pairs),
     # KG construction (batch face)
     "kg_mentions": kgops.kg_mentions,
@@ -71,6 +73,7 @@ QUERIES: dict[str, QueryFn] = {
     "kg_doc_triples": kgops.kg_doc_triples,
     # relational / streaming-batch twins
     "rel_first_match_join": relops.rel_first_match_join,
+    "rel_runtime_filter_join": relops.rel_runtime_filter_join,
     "events_asof_join": relops.events_asof_join,
     "events_moving_avg": relops.events_moving_avg,
     "events_top_spenders": relops.events_top_spenders,
@@ -85,8 +88,9 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_sessionize": streaming_sessionize_query,
     # multimodal binary-column plumbing (mapInPandas feature extraction)
     "multimodal_features": multimodal_features_query,
-    # page-dedup tier through real iterative connected components
+    # page-dedup tiers through real iterative connected components
     "page_canonical_exact": page_canonical_exact_query,
+    "page_canonical_lsh": page_canonical_lsh_query,
     # RML engine end-to-end
     "rml_nation_region_graph": rmlops.rml_nation_region_graph,
     "rml_subject_space_discard": rmlops.rml_subject_space_discard,

@@ -53,6 +53,59 @@ def first_match_join(
     return child.join(p1, cond, "inner")
 
 
+def _asof_tag(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    rcols: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Tagged union inputs for the as-of carry: (key, __ts, __tag, __l, __r)
+    with right rows tagged 0 so they sort before left rows at equal ts."""
+    lt = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(
+            right.select(
+                F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in rcols]).alias("s")
+            ).schema["s"].dataType.simpleString()
+        ).alias("__r"),
+    )
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast(lt.schema["__l"].dataType.simpleString()).alias("__l"),
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in rcols]
+        ).alias("__r"),
+    )
+    return lt, rt
+
+
+def _asof_project(
+    out: DataFrame,
+    left_columns: list[str],
+    rcols: list[str],
+    right_ts: str,
+    tolerance_sec: int | None,
+) -> DataFrame:
+    """Tolerance filter + final projection shared by both as-of variants."""
+    if tolerance_sec is not None:
+        out = out.filter(
+            F.col("__ts").cast("long") - F.col("__last_r.__rts").cast("long")
+            <= tolerance_sec
+        )
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left_columns],
+        *[F.col(f"__last_r.{c}").alias(f"right_{c}") for c in rcols],
+        F.col("__last_r.__rts").alias(f"right_{right_ts}"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -75,28 +128,14 @@ def asof_join(
     rows at equal ts, so "<=" is inclusive. ONE shuffle on the key and a
     per-key local sort (bounded by per-key activity, the natural unit), vs
     the naive inequality join which is O(|L|x|R|) per key. A time
-    `tolerance_sec` bounds how stale the match may be."""
+    `tolerance_sec` bounds how stale the match may be.
+
+    The per-key window sorts a key's ENTIRE history in one partition — the
+    natural unit for user-keyed events. For hub keys whose history exceeds a
+    partition (a bot user, a null-ish default key), use asof_join_bucketed:
+    same semantics, per-bucket sorts."""
     rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
-    lt = left.select(
-        F.col(on),
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__tag"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
-        F.lit(None).cast(
-            right.select(
-                F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in rcols]).alias("s")
-            ).schema["s"].dataType.simpleString()
-        ).alias("__r"),
-    )
-    rt = right.select(
-        F.col(on),
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__tag"),
-        F.lit(None).cast(lt.schema["__l"].dataType.simpleString()).alias("__l"),
-        F.struct(
-            F.col(right_ts).alias("__rts"), *[F.col(c) for c in rcols]
-        ).alias("__r"),
-    )
+    lt, rt = _asof_tag(left, right, on, left_ts, right_ts, rcols)
     w = (
         Window.partitionBy(on)
         .orderBy("__ts", "__tag", F.col(f"__r.{right_order}"))
@@ -106,16 +145,74 @@ def asof_join(
         "__last_r", F.last("__r", ignorenulls=True).over(w)
     )
     out = carried.filter((F.col("__tag") == 1) & F.col("__last_r").isNotNull())
-    if tolerance_sec is not None:
-        out = out.filter(
-            F.col("__ts").cast("long") - F.col("__last_r.__rts").cast("long")
-            <= tolerance_sec
-        )
-    return out.select(
-        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__last_r.{c}").alias(f"right_{c}") for c in rcols],
-        F.col("__last_r.__rts").alias(f"right_{right_ts}"),
+    return _asof_project(out, left.columns, rcols, right_ts, tolerance_sec)
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_sec: int | None = None,
+    right_order: str = "event_id",
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """asof_join with bounded per-partition sorts — the hub-key-safe variant.
+    Output-equivalent to asof_join (property-tested); use it when single
+    keys accumulate more history than one partition should sort.
+
+    Three bounded pieces instead of one per-key full-history sort:
+      1. within-bucket carry: the same union-and-carry window, but
+         partitioned by (key, floor(ts/bucket_sec)) — each local sort is
+         bounded by one bucket's activity, never the key's lifetime;
+      2. per-(key, bucket) last-right summary: a max_by hash aggregate over
+         right rows (map-side combinable — the struct ordering key drops it
+         to SortAggregate over the already-small summary, not the events);
+      3. cross-bucket carry: a window over the per-key BUCKET LIST (rows =
+         #active buckets, bounded by time-range/bucket_sec regardless of
+         event volume) carries the newest summary from strictly-earlier
+         buckets.
+    A left row takes its within-bucket match, else the cross-bucket carry.
+    Pick bucket_sec so one bucket of the hottest key fits a partition."""
+    rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    lt, rt = _asof_tag(left, right, on, left_ts, right_ts, rcols)
+    b = F.floor(F.col("__ts").cast("long") / F.lit(bucket_sec))
+    u = lt.unionByName(rt).withColumn("__b", b)
+    w_in = (
+        Window.partitionBy(on, "__b")
+        .orderBy("__ts", "__tag", F.col(f"__r.{right_order}"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("__in_b", F.last("__r", ignorenulls=True).over(w_in))
+    blast = (
+        rt.withColumn("__b", b)
+        .groupBy(on, "__b")
+        .agg(
+            F.max_by(
+                F.col("__r"), F.struct(F.col("__ts"), F.col(f"__r.{right_order}"))
+            ).alias("__bl")
+        )
+    )
+    spine = u.select(on, "__b").distinct()
+    w_carry = (
+        Window.partitionBy(on)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        spine.join(blast, [on, "__b"], "left")
+        .withColumn("__prev", F.last("__bl", ignorenulls=True).over(w_carry))
+        .select(on, "__b", "__prev")
+    )
+    out = (
+        u.filter(F.col("__tag") == 1)
+        .join(carry, [on, "__b"], "left")
+        .withColumn("__last_r", F.coalesce("__in_b", "__prev"))
+        .filter(F.col("__last_r").isNotNull())
+    )
+    return _asof_project(out, left.columns, rcols, right_ts, tolerance_sec)
 
 
 # --- driver-contract queries ------------------------------------------------
@@ -144,6 +241,56 @@ def rel_first_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").alias("first_linenumber"),
         F.round("l_quantity", 2).alias("first_quantity"),
     )
+
+
+def rel_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: a selective dim-side predicate
+    (p_brand = 'Brand#13', ~1/25 of part) builds a bloom filter that Spark's
+    InjectRuntimeFilter rule pushes into the FACT-side scan as
+    `might_contain(xxhash64(l_partkey))` — row-level dynamic pruning, the
+    non-partitioned analogue of DPP. At 100 TB this is the difference
+    between shuffling the whole lineitem corpus into the join exchange and
+    shuffling only the ~matching fraction; the plan assert lives in
+    tests/test_plans.py.
+
+    Conf scoping: injection happens at optimization time, so the function
+    lowers the application-side size threshold (the 10 GB default assumes a
+    real cluster's scans; test scans are KBs), disables auto-broadcast (the
+    rule only guards shuffle joins — a broadcast join needs no runtime
+    filter), forces the optimized plan to MATERIALIZE under those confs, and
+    restores the session values before returning — the memoized plan keeps
+    the injected filter; later queries keep their defaults. Correctness is
+    conf-independent: the bloom filter only prunes rows the join would drop."""
+    scoped = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        dim = part.filter(F.col("p_brand") == "Brand#13")
+        out = (
+            li.join(dim, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_size")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
+        )
+        out._jdf.queryExecution().optimizedPlan()  # memoize the injected plan
+        return out
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -166,14 +166,18 @@ N_CENTROIDS = 16
 IVF_NPROBE = 2
 
 
-def _ivf_assign(emb: DataFrame, n_centroids: int, id_col: str, vec_col: str):
+def _ivf_assign(
+    emb: DataFrame, n_centroids: int, id_col: str, vec_col: str, cent: DataFrame | None = None
+):
     """(scored_cent, assigned): per-vector centroid scores and the nearest-
-    centroid assignment. Centroids are the first n_centroids vectors —
-    deterministic so the DuckDB oracle reproduces the assignment
-    bit-for-bit; production plugs k-means centroids into the same plan."""
-    cent = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
-    )
+    centroid assignment. Default centroids are the first n_centroids vectors
+    — deterministic so the DuckDB oracle reproduces the assignment
+    bit-for-bit; pass `cent` (cent_id, cv) to plug in trained centroids
+    (_kmeans_centroids) through the identical broadcast + max_by plan."""
+    if cent is None:
+        cent = emb.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+        )
     scored_cent = (
         emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
         .join(F.broadcast(cent))
@@ -209,6 +213,110 @@ def ann_ivf_topk(
     aggregation per vector — no sort, no all-pairs; search is an equi-join
     co-partitioned on the list id, cost ~ 1/n_centroids of brute force."""
     _scored_cent, assigned = _ivf_assign(emb, n_centroids, id_col, vec_col)
+    q = assigned.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv"), "cluster"
+    )
+    c = assigned.select(
+        F.col("vid").alias("cand_id"), F.col("v").alias("cv"), "cluster"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cluster")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_col(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+KMEANS_ITERS = 2
+
+
+def _kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    n_iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cent_id, cv) after `n_iters` Lloyd iterations: assign every vector to
+    its nearest (cosine) centroid — broadcast centroids + one max_by hash
+    aggregate, the same plan as _ivf_assign — then recompute each centroid as
+    the element-wise mean of its members. Init = first n_centroids vectors;
+    iteration count FIXED, not convergence-tested, so the DuckDB oracle can
+    replay the trajectory.
+
+    Determinism anchor: the mean is computed as a sequential fold over the
+    member values SORTED BY VECTOR ID, then rounded to 6 dp — double
+    summation is order-dependent, and a plain avg() lets each engine (and
+    each Spark run) pick its own partial-aggregation order. At 100 TB you
+    would use plain avg() (map-side-combinable hash agg; the collect_list
+    per (cluster, dim) here is bounded by cluster size) and drop the
+    bitwise-replay requirement — the sorted fold is the oracle anchor, not
+    the scale path."""
+    cent = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    for _ in range(n_iters):
+        _scored, assigned = _ivf_assign(emb, n_centroids, id_col, vec_col, cent=cent)
+        memb = assigned.select(
+            "vid", "cluster", F.posexplode("v").alias("pos", "x")
+        )
+        comp = memb.groupBy("cluster", "pos").agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("vid"), F.col("x").cast("double").alias("x")
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["x"],
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+        cent = (
+            comp.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .select(F.col("cluster").alias("cent_id"), "cv")
+        )
+    return cent
+
+
+def ann_ivf_kmeans_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = 3,
+    n_centroids: int = N_CENTROIDS,
+    n_iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ann_ivf_topk with TRAINED centroids: n_iters Lloyd iterations refine
+    the first-N init before the inverted lists are built — closing the gap
+    between the deterministic-centroid demo and a production IVF index. The
+    search plan is identical (broadcast centroids, max_by assignment, list
+    equi-join); only the centroid table changes."""
+    cent = _kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col)
+    _scored, assigned = _ivf_assign(emb, n_centroids, id_col, vec_col, cent=cent)
     q = assigned.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"), F.col("v").alias("qv"), "cluster"
     )

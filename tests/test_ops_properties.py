@@ -61,6 +61,38 @@ def test_asof_join_tolerance(spark):
     )
 
 
+def test_asof_join_bucketed_matches_asof_join(spark):
+    """The hub-safe bucketed formulation must be output-equivalent to the
+    per-key-history asof_join — across tolerances and bucket widths (one
+    event per bucket, a handful of buckets, one bucket spanning everything)."""
+    from rossete_rdf_spark.relops import asof_join, asof_join_bucketed
+
+    left = spark.range(200).select(
+        (F.col("id") % 7).alias("user_id"),
+        F.col("id").alias("event_id"),
+        ((F.col("id") * 37) % 1000 * 10).alias("ts"),
+    )
+    right = spark.range(300).select(
+        (F.col("id") % 7).alias("user_id"),
+        (F.col("id") + 1000).alias("event_id"),
+        ((F.col("id") * 53) % 997 * 10).alias("ts"),
+    )
+    for tol in (None, 900):
+        base = sorted(
+            tuple(r)
+            for r in asof_join(left, right, on="user_id", tolerance_sec=tol).collect()
+        )
+        assert base
+        for bucket_sec in (1, 500, 10**9):
+            got = sorted(
+                tuple(r)
+                for r in asof_join_bucketed(
+                    left, right, on="user_id", tolerance_sec=tol, bucket_sec=bucket_sec
+                ).collect()
+            )
+            assert got == base, (tol, bucket_sec)
+
+
 def test_salted_top_k_matches_unsalted(spark):
     from rossete_rdf_spark.relops import salted_top_k_per_group, top_k_per_group
 

@@ -78,6 +78,24 @@ def test_doc_triples_two_pruned_scans(spark):
     assert meta_scans, "expected a metadata scan that prunes the text column"
 
 
+def test_runtime_filter_join_injects_bloom_filter(spark):
+    # the selective dim filter must materialize as a bloom filter probed on
+    # the FACT side (might_contain over the join key) — row-level runtime
+    # pruning of the big scan before the join exchange; the query function
+    # scopes the confs and memoizes the optimized plan, so the filter
+    # survives the conf restore
+    from rossete_rdf_spark.relops import rel_runtime_filter_join
+
+    df = rel_runtime_filter_join(spark, SF)
+    plan = _plan(df)
+    assert "might_contain" in plan.lower()
+    # and the session confs are back to their defaults afterwards
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    ).lower().rstrip("b") not in ("0", "")
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
 def test_rml_graph_plan_has_no_python(spark):
     # the whole RML materialization must stay JVM-side: no Python UDF nodes
     plan = _plan(rml_nation_region_graph(spark, SF))
