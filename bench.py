@@ -1,15 +1,25 @@
 #!/usr/bin/env python
-"""Benchmark harness. Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>,
-   "kg_pipeline": {...triples/sec...},
-   "scaling": {...local[N] vs local[4N] efficiency...}}
+"""Benchmark harness. The LAST stdout line is ONE COMPACT JSON line:
+  {"metric": "bench_total", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec rounded to 0.1, ...}, "sf": <sf>,
+   "kg_pipeline": {pages, triples, cores, sec, triples_per_sec},
+   "scaling": {cores, sec, efficiency, probe_floor_sec,
+               vm_parallel_ceiling, efficiency_vs_vm_ceiling, ...}}
+
+Compactness is part of the contract: the round-3 artifact (BENCH_r03.json)
+recorded "parsed": null because the final line — then carrying full-precision
+timings plus every per-rep probe array — outgrew the driver's tail capture.
+The bulky evidence (per-rep seconds, bracketing probes, full-precision query
+timings) now goes to stderr as a separate JSON line tagged [bench-detail];
+redirect stderr to keep it.
 
 Env:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     high-parallelism core count (default 32)
   SPARK_GRAFT_BENCH_PAGES  synthetic page count for the KG job (default 8000)
   SPARK_GRAFT_SKIP_SCALING set to skip the two-parallelism run
+  SPARK_GRAFT_SCALE_REPS   interleaved isolated reps per level (default 7)
+  SPARK_GRAFT_SCALE_RETRIES probe-gated rerun budget (default 4)
 """
 
 from __future__ import annotations
@@ -113,7 +123,15 @@ def run_queries_phase(sf_dir: str, cpus: int) -> dict:
     # execution threads, python state workers) via a tiny-sf streaming run —
     # one-time costs, not per-query engine work
     _force(QUERIES["token_count"](spark, sf_dir))
-    QUERIES["streaming_sessionize"](spark, "/root/testdata/sf0.001").count()
+    # tiny-sf streaming warm-up: derive the dir from sf_dir's data root (not
+    # a hardcoded path — sf_dir may point anywhere); fall back to sf_dir
+    # itself when no sf0.001 sibling exists
+    warm_dir = os.path.join(
+        os.path.dirname(os.path.abspath(sf_dir.rstrip("/"))), "sf0.001"
+    )
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    QUERIES["streaming_sessionize"](spark, warm_dir).count()
     for name in HEADLINE:
         t0 = time.time()
         _force(QUERIES[name](spark, sf_dir))
@@ -208,11 +226,15 @@ def main() -> None:
         return
 
     t_all = time.time()
+    queries_full = _phase_subprocess("queries")
+    detail: dict = {"queries_sec": queries_full}
     result = {
         "metric": "bench_total",
         "value": None,  # filled at the end
         "unit": "sec",
-        "queries": _phase_subprocess("queries"),
+        # rounded to 0.1s in the compact line; full precision in the
+        # [bench-detail] stderr line
+        "queries": {k: round(v, 1) for k, v in queries_full.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -232,7 +254,11 @@ def main() -> None:
     lo = max(hi // 4, 1)
     mat_rows = int(os.environ.get("SPARK_GRAFT_MAT_ROWS", "40000000"))
 
-    result["kg_pipeline"] = _phase_subprocess("kg")
+    kg = _phase_subprocess("kg")
+    detail["kg_pipeline"] = kg
+    result["kg_pipeline"] = {
+        k: kg[k] for k in ("pages", "triples", "cores", "sec", "triples_per_sec")
+    }
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         # N -> 4N protocol (see BENCH.md "Scaling protocol"): each rep is an
         # ISOLATED process (scripts/matbench.py: fresh JVM, own warm-up, one
@@ -248,33 +274,56 @@ def main() -> None:
         # probe >> min(probes) == slow phase.
         import subprocess
 
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "7"))
+        retries_left = int(os.environ.get("SPARK_GRAFT_SCALE_RETRIES", "4"))
         here = os.path.dirname(os.path.abspath(__file__))
         secs: dict[int, list[float]] = {lo: [], hi: []}
         probes: dict[int, list[list[float]]] = {lo: [], hi: []}
         par_probes: dict[int, list[float]] = {lo: [], hi: []}
+        retried: list[dict] = []
+
+        def _mat_rep(cores: int, tag: str) -> dict:
+            out = subprocess.run(
+                [sys.executable, os.path.join(here, "scripts", "matbench.py"),
+                 str(cores), str(mat_rows)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            secs[cores].append(r["sec"])
+            probes[cores].append(
+                [r.get("probe_before_sec"), r.get("probe_after_sec")]
+            )
+            par_probes[cores].append(r.get("probe_parallel_sec"))
+            print(f"[bench] mat@{cores} {tag}: {r['sec']}s "
+                  f"(probes {probes[cores][-1]} par {par_probes[cores][-1]})",
+                  file=sys.stderr, flush=True)
+            return r
+
+        def _floor() -> float | None:
+            all_p = [p for ps in probes.values() for pair in ps for p in pair
+                     if p is not None]
+            return min(all_p) if all_p else None
+
         for rep in range(reps):
             for cores in (lo, hi):
-                out = subprocess.run(
-                    [sys.executable, os.path.join(here, "scripts", "matbench.py"),
-                     str(cores), str(mat_rows)],
-                    capture_output=True, text=True, timeout=1800,
-                )
-                r = json.loads(out.stdout.strip().splitlines()[-1])
-                secs[cores].append(r["sec"])
-                probes[cores].append(
-                    [r.get("probe_before_sec"), r.get("probe_after_sec")]
-                )
-                par_probes[cores].append(r.get("probe_parallel_sec"))
-                print(f"[bench] mat@{cores} rep{rep}: {r['sec']}s "
-                      f"(probes {probes[cores][-1]} par {par_probes[cores][-1]})",
-                      file=sys.stderr, flush=True)
+                r = _mat_rep(cores, f"rep{rep}")
+                # probe-gated rerun: a rep whose bracketing probes sit far
+                # above the cleanest probe seen so far ran inside one of this
+                # VM's multi-minute slow phases — its timed run is
+                # contaminated, and with few reps per level one slow phase
+                # can deny a level ANY clean measurement. Rerun it once (the
+                # contaminated evidence stays in the arrays; the min
+                # estimator ignores it anyway).
+                rp = [p for p in probes[cores][-1] if p is not None]
+                fl = _floor()
+                if retries_left > 0 and rp and fl and max(rp) > 2 * fl:
+                    retries_left -= 1
+                    retried.append({"cores": cores, "rep": rep})
+                    _mat_rep(cores, f"rep{rep}-retry")
 
         mat_lo = min(secs[lo])
         mat_hi = min(secs[hi])
-        all_probes = [p for ps in probes.values() for pair in ps for p in pair
-                      if p is not None]
-        probe_floor = min(all_probes) if all_probes else None
+        probe_floor = _floor()
         # the VM's own ceiling for a hi-way parallel JVM loop: single-thread
         # codegen probe time / same loop run `hi` copies at once (shuffle-free
         # — nothing of the engine in it). Any Spark job's measured efficiency
@@ -284,35 +333,41 @@ def main() -> None:
             round(probe_floor / min(par_hi), 3) if probe_floor and par_hi else None
         )
         thr_lo, thr_hi = mat_rows / mat_lo, mat_rows / mat_hi
+        efficiency = round(thr_hi / (thr_lo * (hi / lo)), 3)
+        # compact record (the driver-parsed line); the per-rep second/probe
+        # arrays that prove which reps were contaminated go to [bench-detail]
         result["scaling"] = {
-            "workload": f"rml_materialize_job({mat_rows} rows: min_by dedup + "
-                        "first-match join + multi-predicate explode + minting)",
-            "protocol": f"min of {reps} interleaved single-run processes per "
-                        "level (one-sided VM contamination -> min estimator), "
-                        "warm-up per process, single-thread JVM calibration "
-                        "probe before+after each timed run",
+            "workload": f"rml_materialize_job({mat_rows} rows)",
+            "protocol": f"min of {reps}(+{len(retried)} probe-gated reruns) "
+                        "interleaved isolated reps/level, probes bracket "
+                        "each run",
             "cores_low": lo,
             "cores_high": hi,
             "sec_low": round(mat_lo, 3),
             "sec_high": round(mat_hi, 3),
+            "probe_floor_sec": probe_floor,
+            "vm_parallel_ceiling": vm_ceiling,
+            "efficiency": efficiency,
+        }
+        if vm_ceiling:
+            result["scaling"]["efficiency_vs_vm_ceiling"] = round(
+                efficiency / vm_ceiling, 3
+            )
+        detail["scaling"] = {
+            **result["scaling"],
             "reps_low_sec": secs[lo],
             "reps_high_sec": secs[hi],
             "probes_low_sec": probes[lo],
             "probes_high_sec": probes[hi],
-            "probe_floor_sec": probe_floor,
             "parallel_probes_low_sec": par_probes[lo],
             "parallel_probes_high_sec": par_probes[hi],
-            "vm_parallel_ceiling": vm_ceiling,
             "rows_per_sec_low": round(thr_lo, 1),
             "rows_per_sec_high": round(thr_hi, 1),
-            "efficiency": round(thr_hi / (thr_lo * (hi / lo)), 3),
+            "retried": retried,
         }
-        if vm_ceiling:
-            result["scaling"]["efficiency_vs_vm_ceiling"] = round(
-                result["scaling"]["efficiency"] / vm_ceiling, 3
-            )
 
     result["value"] = round(time.time() - t_all, 3)
+    print("[bench-detail] " + json.dumps(detail), file=sys.stderr, flush=True)
     print(json.dumps(result))
 
 
