@@ -304,19 +304,31 @@ def main() -> None:
                      if p is not None]
             return min(all_p) if all_p else None
 
+        def _contaminated(cores: int) -> bool:
+            """Was the latest rep at `cores` visibly inside a VM slow phase?
+            Two independent tells, both against the cleanest value seen so
+            far: the single-thread bracketing probes (catches serial slow
+            phases), and the per-LEVEL parallel probe (catches the parallel
+            allocation-path phases that leave the single-thread probe clean
+            — the round-4 local run had a 49.9s local[4] rep with healthy
+            0.6s bracketing probes but a 1.18s parallel probe vs the 0.57s
+            parallel floor)."""
+            rp = [p for p in probes[cores][-1] if p is not None]
+            fl = _floor()
+            if rp and fl and max(rp) > 2 * fl:
+                return True
+            pp = [p for p in par_probes[cores] if p is not None]
+            return len(pp) > 1 and pp[-1] > 2 * min(pp)
+
         for rep in range(reps):
             for cores in (lo, hi):
-                r = _mat_rep(cores, f"rep{rep}")
-                # probe-gated rerun: a rep whose bracketing probes sit far
-                # above the cleanest probe seen so far ran inside one of this
-                # VM's multi-minute slow phases — its timed run is
-                # contaminated, and with few reps per level one slow phase
-                # can deny a level ANY clean measurement. Rerun it once (the
-                # contaminated evidence stays in the arrays; the min
-                # estimator ignores it anyway).
-                rp = [p for p in probes[cores][-1] if p is not None]
-                fl = _floor()
-                if retries_left > 0 and rp and fl and max(rp) > 2 * fl:
+                _mat_rep(cores, f"rep{rep}")
+                # probe-gated rerun: a contaminated rep's timed run sat in
+                # one of this VM's multi-minute slow phases, and with few
+                # reps per level one phase can deny a level ANY clean
+                # measurement. Rerun it once (the contaminated evidence
+                # stays in the arrays; the min estimator ignores it anyway).
+                if retries_left > 0 and _contaminated(cores):
                     retries_left -= 1
                     retried.append({"cores": cores, "rep": rep})
                     _mat_rep(cores, f"rep{rep}-retry")

@@ -273,6 +273,19 @@ WHERE p_brand = 'Brand#13'
 GROUP BY 1, 2
 """
 
+# skew-join demo: the AQE split is a physical-plan optimization only, so the
+# oracle is the plain hub-skewed join + aggregate
+ORACLES["rel_skew_join_agg"] = """
+WITH fact AS (SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0 ELSE l_orderkey END AS k,
+                     l_quantity
+              FROM lineitem),
+dim0 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey > 0
+         UNION ALL SELECT 0),
+dim AS (SELECT k, 'grp' || (k % 3)::VARCHAR AS tag FROM dim0)
+SELECT tag, count(*)::BIGINT AS n_items, round(sum(l_quantity), 2) AS sum_qty
+FROM fact JOIN dim USING (k) GROUP BY 1
+"""
+
 # as-of join: the oracle pairs each purchase with its most recent prior
 # click via an inequality join + row_number — O(|L|x|R|) per key, fine at
 # oracle scale; the Spark side is the single-shuffle union-and-carry plan.
@@ -328,6 +341,33 @@ SELECT user_id, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["events_rollup"] = """
+WITH e AS (SELECT event_type, hour(ts) AS hour_of_day, value FROM events)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(hour_of_day, -1) AS hour_of_day,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM e GROUP BY ROLLUP(event_type, hour_of_day)
+"""
+
+ORACLES["events_pivot"] = """
+SELECT user_id,
+       round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+       round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+       round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+       round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error
+FROM events GROUP BY 1
+"""
+
+# watermarked streaming dedup: one availableNow batch -> the surviving key
+# set equals the batch DISTINCT
+ORACLES["streaming_dedup"] = """
+SELECT DISTINCT user_id, event_type,
+       strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute
+FROM events
 """
 
 ORACLES["events_hourly_agg"] = """

@@ -12,7 +12,11 @@ from . import kgops, relops, rmlops
 from .oracles import ORACLES
 from .pipeline.multimodal import multimodal_features_query
 from .pipeline.pagedup import page_canonical_exact_query, page_canonical_lsh_query
-from .streaming.events import streaming_hourly_agg_query, streaming_sessionize_query
+from .streaming.events import (
+    streaming_dedup_query,
+    streaming_hourly_agg_query,
+    streaming_sessionize_query,
+)
 from .textops import (
     ann_cosine_topk,
     ann_ivf_kmeans_topk,
@@ -74,17 +78,21 @@ QUERIES: dict[str, QueryFn] = {
     # relational / streaming-batch twins
     "rel_first_match_join": relops.rel_first_match_join,
     "rel_runtime_filter_join": relops.rel_runtime_filter_join,
+    "rel_skew_join_agg": relops.rel_skew_join_agg,
     "events_asof_join": relops.events_asof_join,
     "events_moving_avg": relops.events_moving_avg,
     "events_top_spenders": relops.events_top_spenders,
     "events_value_quantiles": relops.events_value_quantiles,
     "mention_counts_salted": relops.mention_counts_salted,
+    "events_rollup": relops.events_rollup,
+    "events_pivot": relops.events_pivot,
     "events_hourly_agg": relops.events_hourly_agg,
     "events_sessionize": relops.events_sessionize,
     "tpch_q1_pricing": relops.tpch_q1_pricing,
     "tpch_q3_shipping": relops.tpch_q3_shipping,
     # structured streaming (real readStream -> watermark -> memory sink)
     "streaming_hourly_agg": streaming_hourly_agg_query,
+    "streaming_dedup": streaming_dedup_query,
     "streaming_sessionize": streaming_sessionize_query,
     # multimodal binary-column plumbing (mapInPandas feature extraction)
     "multimodal_features": multimodal_features_query,

@@ -293,6 +293,46 @@ def rel_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.set(k, v)
 
 
+def rel_skew_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join demo query: a deliberately hub-skewed fact key (75% of
+    lineitem rows collapse onto key 0) joined to a key-unique dim, then
+    aggregated. Correctness never depends on the skew handling — the
+    oracle is the plain join — but the shape is exactly what AQE's
+    OptimizeSkewedJoin splits at scale, and tests/test_plans.py asserts the
+    split actually happens (SortMergeJoin(skew=true)) under scoped confs.
+
+    Two shape requirements, both discovered empirically and load-bearing:
+    - the dim side must reach the join as a BARE shuffle (union of a
+      filtered scan and a literal row, no distinct) — an aggregate between
+      the Sort and the shuffle stage breaks OptimizeSkewedJoin's
+      SMJ(Sort(stage), Sort(stage)) pattern and silently disables the rule;
+    - the fact side is repartitioned first: AQE can only split a skewed
+      reduce partition at MAP-output boundaries, and at test scale the
+      whole fact is one parquet row group = ONE map task (unsplittable —
+      the rule logs 'number of skewed partitions: 0'). A real fact table
+      has thousands of maps; the repartition mimics that."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    skew_key = F.when(F.col("l_orderkey") % 4 != 0, F.lit(0)).otherwise(
+        F.col("l_orderkey")
+    )
+    fact = li.repartition(16).select(skew_key.alias("k"), "l_quantity")
+    dim = (
+        orders.filter((F.col("o_orderkey") % 4 == 0) & (F.col("o_orderkey") > 0))
+        .select(F.col("o_orderkey").alias("k"))
+        .unionByName(spark.range(1).select(F.lit(0).cast("long").alias("k")))
+        .withColumn("tag", F.concat(F.lit("grp"), (F.col("k") % 3).cast("string")))
+    )
+    return (
+        fact.join(dim, "k")
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each purchase event, the most recent click by the same user at or
     before the purchase (attribution-style as-of join). Timestamps are
@@ -447,6 +487,45 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in ONE pass: ROLLUP(event_type, hour_of_day)
+    computes per-(type, hour), per-type, and grand totals without
+    re-scanning — Spark expands the grouping sets inside a single shuffle
+    with map-side partials, which at 100 TB replaces three separate
+    aggregation jobs. ANSI ROLLUP marks subtotal rows with NULL group keys;
+    the output coalesces them to 'ALL'/-1 sentinels (no real type is 'ALL',
+    no real hour is -1) so every engine and comparison harness totals-orders
+    them identically."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "hour_of_day", F.hour("ts").cast("long")
+    )
+    out = ev.rollup("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return out.select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        F.coalesce("hour_of_day", F.lit(-1)).alias("hour_of_day"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot: per-user spend split into one column per event
+    type. The value list is EXPLICIT — with it, pivot is a single
+    shuffle-and-aggregate (conditional aggregation per column); without it,
+    Spark first runs a distinct-values job over the corpus. Always pass the
+    list at scale."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return out
 
 
 def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -190,6 +190,66 @@ def streaming_sessionize(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked streaming deduplication — the ingest-hygiene operator of a
+    live pipeline (at-least-once sources redeliver; this collapses the
+    redeliveries). dropDuplicatesWithinWatermark keeps one row per key and
+    expires a key's state once the watermark passes it, so state is bounded
+    by the lateness window × key arrival rate, not by stream lifetime — the
+    same bounded-state discipline as the windowed aggregate. The output
+    projects the KEY columns only: which physical duplicate survives is
+    arbitrary (as in any dedup), the key set is deterministic — and that is
+    what the oracle (SELECT DISTINCT) checks."""
+    keyed = (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select(
+            "ts",
+            "user_id",
+            "event_type",
+            F.date_format(F.date_trunc("minute", "ts"), "yyyy-MM-dd HH:mm").alias(
+                "minute"
+            ),
+        )
+    )
+    return keyed.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "minute"]
+    ).select("user_id", "event_type", "minute")
+
+
+def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: readStream -> watermarked dedup -> memory
+    sink, one availableNow batch. Single-batch semantics make the surviving
+    key set equal the batch DISTINCT, hence the DuckDB oracle."""
+    import os
+    import re
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+    stream_dir = os.path.join(tempfile.gettempdir(), f"rossete_stream_{tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    out = streaming_dedup(stream)
+    name = f"streaming_dedup_sink_{next(_SINK_SEQ)}"
+    with _stateful_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _ckpt_dir("dedup"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract wrapper: one availableNow micro-batch over the events
     parquet — every session closes inside the batch, so the stateful result

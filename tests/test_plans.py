@@ -96,6 +96,38 @@ def test_runtime_filter_join_injects_bloom_filter(spark):
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
 
 
+def test_skew_join_actually_splits(spark):
+    # rel_skew_join_agg's join shape must be splittable by AQE's
+    # OptimizeSkewedJoin: under scoped thresholds (the defaults assume
+    # 256MB+ partitions) the executed plan must carry the skew=true SMJ.
+    # The decision is made at RUNTIME by AQE, so the confs stay set until
+    # after the collect.
+    from rossete_rdf_spark.relops import rel_skew_join_agg
+
+    scoped = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in scoped}
+    try:
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
+        df = rel_skew_join_agg(spark, "/root/testdata/sf0.01")
+        rows = {r.tag: (r.n_items, r.sum_qty) for r in df.collect()}
+        assert rows["grp0"][0] > 5 * rows["grp1"][0]  # the hub is real
+        plan = _plan(df)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "skew=true" in final
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_rml_graph_plan_has_no_python(spark):
     # the whole RML materialization must stay JVM-side: no Python UDF nodes
     plan = _plan(rml_nation_region_graph(spark, SF))
