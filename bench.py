@@ -275,7 +275,9 @@ def main() -> None:
         import subprocess
 
         reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "7"))
-        retries_left = int(os.environ.get("SPARK_GRAFT_SCALE_RETRIES", "4"))
+        # 6 by default: the round-4 local runs burned 3-4 retries per run,
+        # all on the parallel-phase-prone high level
+        retries_left = int(os.environ.get("SPARK_GRAFT_SCALE_RETRIES", "6"))
         here = os.path.dirname(os.path.abspath(__file__))
         secs: dict[int, list[float]] = {lo: [], hi: []}
         probes: dict[int, list[list[float]]] = {lo: [], hi: []}

@@ -273,6 +273,21 @@ WHERE p_brand = 'Brand#13'
 GROUP BY 1, 2
 """
 
+# range join: the oracle is the naive inequality join (fine at oracle
+# scale); the Spark side is the bucket-explode equi-join composition
+ORACLES["events_range_join"] = """
+WITH ev AS (SELECT event_id, epoch(ts)::BIGINT AS ts_s FROM events),
+days AS (SELECT DISTINCT ts::DATE AS d FROM events),
+w AS (SELECT * FROM (VALUES (0, 7, '0'), (7, 13, '1'), (13, 22, '2'),
+                            (22, 24, '3'), (6, 14, '4')) AS t(sh, eh, slot)),
+iv AS (SELECT strftime(d, '%Y-%m-%d') || '-' || slot AS interval_id,
+              epoch(d::TIMESTAMP)::BIGINT + sh * 3600 AS start_s,
+              epoch(d::TIMESTAMP)::BIGINT + eh * 3600 AS end_s
+       FROM days CROSS JOIN w)
+SELECT e.event_id, i.interval_id
+FROM ev e JOIN iv i ON e.ts_s >= i.start_s AND e.ts_s < i.end_s
+"""
+
 # skew-join demo: the AQE split is a physical-plan optimization only, so the
 # oracle is the plain hub-skewed join + aggregate
 ORACLES["rel_skew_join_agg"] = """

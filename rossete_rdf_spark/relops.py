@@ -355,6 +355,83 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    left_ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """Point-in-interval range join as an EQUI-join: Spark plans a naive
+    `ts BETWEEN start AND end` join as BroadcastNestedLoopJoin (fine only
+    while the interval table broadcasts) or a cartesian — O(|L| x |I|). The
+    scalable composition buckets time: explode each interval into the
+    coarse buckets it covers (one row per covered bucket — cost proportional
+    to interval length, not to |L|), equi-join on the bucket key (hash join,
+    co-partitioned, AQE-skew-handled), then apply the exact containment
+    filter. Overlapping intervals multi-match naturally. Pick bucket_sec
+    near the typical interval length: too fine explodes the interval side,
+    too coarse widens the per-bucket candidate set."""
+    lb = left.withColumn(
+        "__b", F.floor(F.col(left_ts).cast("long") / F.lit(bucket_sec))
+    )
+    ib = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start).cast("long") / F.lit(bucket_sec)),
+                F.floor(F.col(end).cast("long") / F.lit(bucket_sec)),
+            )
+        ),
+    )
+    return (
+        lb.join(ib, "__b")
+        .filter((F.col(left_ts) >= F.col(start)) & (F.col(left_ts) < F.col(end)))
+        .drop("__b")
+    )
+
+
+_RANGE_SLOTS = [(0, 7), (7, 13), (13, 22), (22, 24), (6, 14)]  # last one overlaps
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join contract query: each event matched to every deterministic
+    daily interval containing it. The interval set partitions each day into
+    four irregular slots PLUS one overlapping 6h–14h slot, so the join is
+    genuinely non-equi (events in 6–14h match twice) — exactly what the
+    bucket-explode equi-join composition must reproduce. All time arithmetic
+    is integer epoch seconds so both engines compare identical numbers."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("ts").cast("timestamp").cast("long").alias("ts_s")
+    )
+    days = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    slots = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sh"), F.lit(e).alias("eh"), F.lit(str(i)).alias("slot")
+            )
+            for i, (s, e) in enumerate(_RANGE_SLOTS)
+        ]
+    )
+    day_s = F.col("d").cast("timestamp").cast("long")
+    iv = days.select("d", F.explode(slots).alias("w")).select(
+        F.concat(
+            F.date_format("d", "yyyy-MM-dd"), F.lit("-"), F.col("w.slot")
+        ).alias("interval_id"),
+        (day_s + F.col("w.sh") * 3600).alias("start_s"),
+        (day_s + F.col("w.eh") * 3600).alias("end_s"),
+    )
+    out = bucketed_range_join(
+        ev, iv, left_ts="ts_s", start="start_s", end="end_s", bucket_sec=3600
+    )
+    return out.select("event_id", "interval_id")
+
+
 def mention_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide term counts via SALTED two-stage aggregation — the
     hub-key pattern: stage 1 aggregates on (salt, mention) so a hub term
