@@ -21,6 +21,13 @@ from .ast import ObjectTerm, Template
 
 RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 
+# warn-once registry for unresolved prefixes, mirroring the reference's
+# per-token "prefix ... was not found" log (src/materialiser.rs:752-760):
+# expansion happens at COMPILE time on the driver (tokens come from the
+# mapping document, not from data rows), so a plain module-level set is the
+# right granularity — one warning per distinct token per process.
+_warned_prefix_tokens: set[str] = set()
+
 
 def expand_curie(token: str, prefixes: dict[str, str], tags: bool) -> str:
     """Prefix expansion with the reference's exact quirks
@@ -38,11 +45,20 @@ def expand_curie(token: str, prefixes: dict[str, str], tags: bool) -> str:
     if key in prefixes:
         expanded = prefixes[key] + local
         return f"<{expanded}>" if tags else expanded
-    # unresolved-prefix passthrough. Deliberate divergence: the reference
-    # appends two trailing spaces to the raw token (src/materialiser.rs:
-    # 756-760 pushes `format!("{token}  ")`); we return it bare — the graph
-    # comparator trims terms, so golden parity is unaffected, and the bare
-    # form round-trips through the writers without a double space.
+    # unresolved-prefix passthrough, warned once per distinct token like the
+    # reference (src/materialiser.rs:752-760). Deliberate divergence on the
+    # VALUE: the reference appends two trailing spaces to the raw token
+    # (`format!("{token}  ")`); we return it bare — the graph comparator
+    # trims terms, so golden parity is unaffected, and the bare form
+    # round-trips through the writers without a double space.
+    if token not in _warned_prefix_tokens:
+        _warned_prefix_tokens.add(token)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "prefix '%s' was not found in the document prefixes; "
+            "passing token %r through unexpanded", key, token
+        )
     return token
 
 

@@ -27,6 +27,24 @@ def test_expand_curie_unresolved_passthrough():
     assert expand_curie("nope:located", PREFIXES, tags=True) == "nope:located"
 
 
+def test_expand_curie_unresolved_warns_once(caplog):
+    # reference logs "prefix ... was not found" per token
+    # (src/materialiser.rs:752-760); we warn once per distinct token
+    import logging
+
+    from rossete_rdf_spark.rml import terms
+
+    terms._warned_prefix_tokens.discard("warn1:x")
+    terms._warned_prefix_tokens.discard("warn2:x")
+    with caplog.at_level(logging.WARNING, logger="rossete_rdf_spark.rml.terms"):
+        expand_curie("warn1:x", PREFIXES, tags=True)
+        expand_curie("warn1:x", PREFIXES, tags=True)  # repeated: no second warn
+        expand_curie("warn2:x", PREFIXES, tags=True)
+    msgs = [r.message for r in caplog.records if "was not found" in r.message]
+    assert len(msgs) == 2
+    assert any("warn1:" in m for m in msgs) and any("warn2:" in m for m in msgs)
+
+
 def test_expand_curie_no_colon_unchanged():
     assert expand_curie("plain", PREFIXES, tags=True) == "plain"
 
