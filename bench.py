@@ -19,7 +19,7 @@ Env:
   SPARK_GRAFT_BENCH_PAGES  synthetic page count for the KG job (default 8000)
   SPARK_GRAFT_SKIP_SCALING set to skip the two-parallelism run
   SPARK_GRAFT_SCALE_REPS   interleaved isolated reps per level (default 7)
-  SPARK_GRAFT_SCALE_RETRIES probe-gated rerun budget (default 4)
+  SPARK_GRAFT_SCALE_RETRIES probe-gated rerun budget (default 6)
 """
 
 from __future__ import annotations

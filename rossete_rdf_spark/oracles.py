@@ -274,9 +274,12 @@ GROUP BY 1, 2
 """
 
 # range join: the oracle is the naive inequality join (fine at oracle
-# scale); the Spark side is the bucket-explode equi-join composition
+# scale); the Spark side is the bucket-explode equi-join composition.
+# floor(epoch(..)) on purpose: epoch() returns fractional seconds and a bare
+# ::BIGINT ROUNDS — an event at xx:59:59.8 would cross a slot boundary the
+# Spark side's truncating cast("long") does not.
 ORACLES["events_range_join"] = """
-WITH ev AS (SELECT event_id, epoch(ts)::BIGINT AS ts_s FROM events),
+WITH ev AS (SELECT event_id, floor(epoch(ts))::BIGINT AS ts_s FROM events),
 days AS (SELECT DISTINCT ts::DATE AS d FROM events),
 w AS (SELECT * FROM (VALUES (0, 7, '0'), (7, 13, '1'), (13, 22, '2'),
                             (22, 24, '3'), (6, 14, '4')) AS t(sh, eh, slot)),

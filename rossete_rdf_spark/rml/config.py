@@ -36,6 +36,7 @@ _WHATWG_TO_JAVA: dict[str, str] = {
     "BIG5": "Big5",
     "ISO-8859-8-I": "ISO-8859-8",  # logical-order variant, same byte decode
     "KOI8": "KOI8-R",  # reference quirk: bare KOI8 means KOI8-R
+    "LATIN-1": "ISO-8859-1",  # java.nio knows LATIN1 but not the dashed form
     "MACINTOSH": "x-MacRoman",
     "REPLACEMENT": "UTF-8",  # WHATWG poison decoder; no JVM analogue
     "SHIFT_JIS": "Shift_JIS",
@@ -51,10 +52,13 @@ _WHATWG_TO_JAVA: dict[str, str] = {
 # whitelist, NOT a codecs.lookup probe: Python's registry admits Python-only
 # transforms (BASE64, ROT13, PUNYCODE, QUOPRI, UNICODE_ESCAPE, ...) that
 # java.nio rejects with UnsupportedCharsetException mid-scan — those must take
-# the reference's unknown->UTF-8 arm instead.
+# the reference's unknown->UTF-8 arm instead. Every label here is verified
+# against this JVM's Charset.forName; ISO-8859-10 and ISO-8859-14 have NO
+# JVM decoder (like REPLACEMENT / X-USER-DEFINED above) and deliberately
+# fall through to UTF-8, and the dashed LATIN-1 maps via the table above.
 _IDENTITY_LABELS = re.compile(
-    r"^(UTF-8|UTF-16(BE|LE)|US-ASCII|ASCII|LATIN-?1"
-    r"|ISO-8859-(1[0-6]?|[2-9])|IBM866|KOI8-[RU]|WINDOWS-125[0-8]"
+    r"^(UTF-8|UTF-16(BE|LE)|US-ASCII|ASCII|LATIN1"
+    r"|ISO-8859-(1[1356]|[1-9])|IBM866|KOI8-[RU]|WINDOWS-125[0-8]"
     r"|GBK|GB18030|GB2312|BIG5-HKSCS|EUC-JP|ISO-2022-JP|EUC-KR|TIS-620)$"
 )
 

@@ -79,6 +79,46 @@ def streaming_hourly_agg(
     )
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet. FileStreamSource ingests
+    directories; expose the single file through a per-sf_dir symlink dir
+    (zero-copy)."""
+    import os
+    import re
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+    stream_dir = os.path.join(tempfile.gettempdir(), f"rossete_stream_{tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    batch = spark.read.parquet(src)
+    return spark.readStream.schema(batch.schema).parquet(stream_dir)
+
+
+def _run_to_memory_sink(
+    spark: SparkSession, out: DataFrame, tag: str, output_mode: str
+) -> DataFrame:
+    """Start `out` into a fresh memory sink with an availableNow trigger
+    (single micro-batch), await it, return the sink table. Runs under the
+    scoped stateful-partition override (state stores are latched at query
+    start)."""
+    name = f"streaming_{tag}_sink_{next(_SINK_SEQ)}"
+    with _stateful_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _ckpt_dir(tag))
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_hourly_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract wrapper: run the REAL streaming pipeline (readStream ->
     watermarked windowed agg -> memory sink) over the events parquet with an
@@ -86,35 +126,8 @@ def streaming_hourly_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrives in one micro-batch, the watermark drops nothing and the result
     equals the batch twin — which is exactly why this streaming query can
     carry a full DuckDB oracle (same SQL as events_hourly_agg)."""
-    import os
-    import re
-    import tempfile
-
-    src = os.path.join(sf_dir, "events.parquet")
-    # FileStreamSource ingests directories; expose the single parquet file
-    # through a per-sf_dir symlink dir (zero-copy)
-    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
-    stream_dir = os.path.join(tempfile.gettempdir(), f"rossete_stream_{tag}")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-
-    batch = spark.read.parquet(src)
-    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
-    out = streaming_hourly_agg(stream)
-    name = f"streaming_hourly_agg_sink_{next(_SINK_SEQ)}"
-    with _stateful_partitions(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", _ckpt_dir("hourly"))
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    out = streaming_hourly_agg(_events_stream(spark, sf_dir))
+    return _run_to_memory_sink(spark, out, "hourly", "complete")
 
 
 # --- custom stateful operator: gap sessionization ---------------------------
@@ -221,63 +234,14 @@ def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract wrapper: readStream -> watermarked dedup -> memory
     sink, one availableNow batch. Single-batch semantics make the surviving
     key set equal the batch DISTINCT, hence the DuckDB oracle."""
-    import os
-    import re
-    import tempfile
-
-    src = os.path.join(sf_dir, "events.parquet")
-    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
-    stream_dir = os.path.join(tempfile.gettempdir(), f"rossete_stream_{tag}")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-
-    batch = spark.read.parquet(src)
-    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
-    out = streaming_dedup(stream)
-    name = f"streaming_dedup_sink_{next(_SINK_SEQ)}"
-    with _stateful_partitions(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", _ckpt_dir("dedup"))
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    out = streaming_dedup(_events_stream(spark, sf_dir))
+    return _run_to_memory_sink(spark, out, "dedup", "append")
 
 
 def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract wrapper: one availableNow micro-batch over the events
     parquet — every session closes inside the batch, so the stateful result
     equals the batch twin and shares its DuckDB oracle."""
-    import os
-    import re
-    import tempfile
-
-    src = os.path.join(sf_dir, "events.parquet")
-    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
-    stream_dir = os.path.join(tempfile.gettempdir(), f"rossete_stream_{tag}")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-
-    batch = spark.read.parquet(src)
-    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    stream = _events_stream(spark, sf_dir)
     out = streaming_sessionize(stream.select("user_id", "ts", "event_id", "value"))
-    name = f"streaming_sessionize_sink_{next(_SINK_SEQ)}"
-    with _stateful_partitions(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", _ckpt_dir("sess"))
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory_sink(spark, out, "sess", "update")

@@ -7,6 +7,8 @@ from rossete_rdf_spark.relops import tpch_q1_pricing, tpch_q3_shipping
 from rossete_rdf_spark.rmlops import rml_nation_region_graph
 
 SF = "/root/testdata/sf0.001"
+# the skew test needs enough fact bytes for its 16KB skew thresholds to trip
+SF_SKEW = "/root/testdata/sf0.01"
 
 
 def _plan(df) -> str:
@@ -114,7 +116,7 @@ def test_skew_join_actually_splits(spark):
     try:
         for k, v in scoped.items():
             spark.conf.set(k, v)
-        df = rel_skew_join_agg(spark, "/root/testdata/sf0.01")
+        df = rel_skew_join_agg(spark, SF_SKEW)
         rows = {r.tag: (r.n_items, r.sum_qty) for r in df.collect()}
         assert rows["grp0"][0] > 5 * rows["grp1"][0]  # the hub is real
         plan = _plan(df)

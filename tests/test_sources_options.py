@@ -201,6 +201,18 @@ def test_whatwg_encoding_aliases():
     assert canonical_encoding("iso-8859-5") == "ISO-8859-5"
     # unknown -> UTF-8 (the reference's default arm)
     assert canonical_encoding("not-a-charset") == "UTF-8"
+    # labels java.nio's Charset.forName rejects must take the unknown->UTF-8
+    # arm (or an explicit mapping), never pass through verbatim
+    assert canonical_encoding("iso-8859-10") == "UTF-8"
+    assert canonical_encoding("iso-8859-12") == "UTF-8"
+    assert canonical_encoding("iso-8859-14") == "UTF-8"
+    assert canonical_encoding("latin-1") == "ISO-8859-1"
+    assert canonical_encoding("latin1") == "LATIN1"
+    assert canonical_encoding("iso-8859-15") == "ISO-8859-15"
+    # Python-only codecs are not charsets
+    assert canonical_encoding("base64") == "UTF-8"
+    assert canonical_encoding("rot13") == "UTF-8"
+    assert canonical_encoding("unicode_escape") == "UTF-8"
 
 
 def test_write_ttl_prefix_header_is_valid_turtle(spark, tmp_path):
