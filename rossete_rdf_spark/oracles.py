@@ -12,6 +12,7 @@ from .kgops import DOC_NS, ENTITY_NS, MIN_ENTITY_DOCS, MIN_MENTION_LEN, ONTO
 from .pipeline.pagedup import MAX_BUCKET as PAGE_MAX_BUCKET
 from .pipeline.pagedup import MIN_BANDS as PAGE_MIN_BANDS
 from .pipeline.pagedup import NEAR_DUP_JACCARD as PAGE_NEAR_DUP_JACCARD
+from .relops import RANGE_SLOTS
 from .textops.ann import EMB_NEARDUP_THRESHOLD, IVF_NPROBE, KMEANS_ITERS
 from .textops.common import sql_ngrams, sql_words
 from .textops.dedup import (
@@ -273,16 +274,19 @@ WHERE p_brand = 'Brand#13'
 GROUP BY 1, 2
 """
 
+_slot_values = ", ".join(
+    f"({s}, {e}, '{i}')" for i, (s, e) in enumerate(RANGE_SLOTS)
+)
+
 # range join: the oracle is the naive inequality join (fine at oracle
 # scale); the Spark side is the bucket-explode equi-join composition.
 # floor(epoch(..)) on purpose: epoch() returns fractional seconds and a bare
 # ::BIGINT ROUNDS — an event at xx:59:59.8 would cross a slot boundary the
 # Spark side's truncating cast("long") does not.
-ORACLES["events_range_join"] = """
+ORACLES["events_range_join"] = f"""
 WITH ev AS (SELECT event_id, floor(epoch(ts))::BIGINT AS ts_s FROM events),
 days AS (SELECT DISTINCT ts::DATE AS d FROM events),
-w AS (SELECT * FROM (VALUES (0, 7, '0'), (7, 13, '1'), (13, 22, '2'),
-                            (22, 24, '3'), (6, 14, '4')) AS t(sh, eh, slot)),
+w AS (SELECT * FROM (VALUES {_slot_values}) AS t(sh, eh, slot)),
 iv AS (SELECT strftime(d, '%Y-%m-%d') || '-' || slot AS interval_id,
               epoch(d::TIMESTAMP)::BIGINT + sh * 3600 AS start_s,
               epoch(d::TIMESTAMP)::BIGINT + eh * 3600 AS end_s

@@ -175,7 +175,13 @@ def asof_join_bucketed(
          event volume) carries the newest summary from strictly-earlier
          buckets.
     A left row takes its within-bucket match, else the cross-bucket carry.
-    Pick bucket_sec so one bucket of the hottest key fits a partition."""
+    Pick bucket_sec so one bucket of the hottest key fits a partition.
+
+    The cross-bucket joins use NULL-SAFE key equality: asof_join's window
+    partitioning groups NULL keys together (and the null-ish default key is
+    exactly the hub pattern this variant exists for), so the bucketed
+    formulation must match them too — a plain equi-join would silently drop
+    every cross-bucket match on the NULL key."""
     rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     lt, rt = _asof_tag(left, right, on, left_ts, right_ts, rcols)
     b = F.floor(F.col("__ts").cast("long") / F.lit(bucket_sec))
@@ -194,21 +200,37 @@ def asof_join_bucketed(
                 F.col("__r"), F.struct(F.col("__ts"), F.col(f"__r.{right_order}"))
             ).alias("__bl")
         )
+        .alias("bl")
     )
-    spine = u.select(on, "__b").distinct()
+    spine = u.select(on, "__b").distinct().alias("sp")
     w_carry = (
         Window.partitionBy(on)
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = (
-        spine.join(blast, [on, "__b"], "left")
+        spine.join(
+            blast,
+            F.col(f"sp.{on}").eqNullSafe(F.col(f"bl.{on}"))
+            & (F.col("sp.__b") == F.col("bl.__b")),
+            "left",
+        )
+        .select(F.col(f"sp.{on}").alias(on), F.col("sp.__b").alias("__b"), "__bl")
         .withColumn("__prev", F.last("__bl", ignorenulls=True).over(w_carry))
         .select(on, "__b", "__prev")
+        .alias("ca")
     )
+    lu = u.filter(F.col("__tag") == 1).alias("lu")
     out = (
-        u.filter(F.col("__tag") == 1)
-        .join(carry, [on, "__b"], "left")
+        lu.join(
+            carry,
+            F.col(f"lu.{on}").eqNullSafe(F.col(f"ca.{on}"))
+            & (F.col("lu.__b") == F.col("ca.__b")),
+            "left",
+        )
+        .select(
+            F.col(f"lu.{on}").alias(on), "__ts", "__tag", "__l", "__in_b", "__prev"
+        )
         .withColumn("__last_r", F.coalesce("__in_b", "__prev"))
         .filter(F.col("__last_r").isNotNull())
     )
@@ -362,6 +384,7 @@ def bucketed_range_join(
     start: str = "start",
     end: str = "end",
     bucket_sec: int = 3600,
+    end_inclusive: bool = False,
 ) -> DataFrame:
     """Point-in-interval range join as an EQUI-join: Spark plans a naive
     `ts BETWEEN start AND end` join as BroadcastNestedLoopJoin (fine only
@@ -372,7 +395,12 @@ def bucketed_range_join(
     co-partitioned, AQE-skew-handled), then apply the exact containment
     filter. Overlapping intervals multi-match naturally. Pick bucket_sec
     near the typical interval length: too fine explodes the interval side,
-    too coarse widens the per-bucket candidate set."""
+    too coarse widens the per-bucket candidate set.
+
+    Containment is HALF-OPEN [start, end) — the natural form for abutting
+    time slots (a point on a boundary belongs to exactly one slot). A
+    SQL-style inclusive BETWEEN needs end_inclusive=True; porting an
+    existing BETWEEN join without it silently drops rows with ts == end."""
     lb = left.withColumn(
         "__b", F.floor(F.col(left_ts).cast("long") / F.lit(bucket_sec))
     )
@@ -385,14 +413,17 @@ def bucketed_range_join(
             )
         ),
     )
+    upper = (
+        F.col(left_ts) <= F.col(end) if end_inclusive else F.col(left_ts) < F.col(end)
+    )
     return (
         lb.join(ib, "__b")
-        .filter((F.col(left_ts) >= F.col(start)) & (F.col(left_ts) < F.col(end)))
+        .filter((F.col(left_ts) >= F.col(start)) & upper)
         .drop("__b")
     )
 
 
-_RANGE_SLOTS = [(0, 7), (7, 13), (13, 22), (22, 24), (6, 14)]  # last one overlaps
+RANGE_SLOTS = [(0, 7), (7, 13), (13, 22), (22, 24), (6, 14)]  # last one overlaps
 
 
 def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,7 +446,7 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(s).alias("sh"), F.lit(e).alias("eh"), F.lit(str(i)).alias("slot")
             )
-            for i, (s, e) in enumerate(_RANGE_SLOTS)
+            for i, (s, e) in enumerate(RANGE_SLOTS)
         ]
     )
     day_s = F.col("d").cast("timestamp").cast("long")

@@ -67,28 +67,32 @@ def test_asof_join_bucketed_matches_asof_join(spark):
     event per bucket, a handful of buckets, one bucket spanning everything)."""
     from rossete_rdf_spark.relops import asof_join, asof_join_bucketed
 
+    # key 0 is mapped to NULL: the hub-key-safe variant's prime use case is
+    # the null-ish default key, so NULL keys must carry across buckets too
+    key = F.when(F.col("id") % 7 == 0, F.lit(None)).otherwise(F.col("id") % 7)
     left = spark.range(200).select(
-        (F.col("id") % 7).alias("user_id"),
+        key.alias("user_id"),
         F.col("id").alias("event_id"),
         ((F.col("id") * 37) % 1000 * 10).alias("ts"),
     )
     right = spark.range(300).select(
-        (F.col("id") % 7).alias("user_id"),
+        key.alias("user_id"),
         (F.col("id") + 1000).alias("event_id"),
         ((F.col("id") * 53) % 997 * 10).alias("ts"),
     )
+    def norm(df):
+        rows = [tuple(r) for r in df.collect()]
+        return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+
     for tol in (None, 900):
-        base = sorted(
-            tuple(r)
-            for r in asof_join(left, right, on="user_id", tolerance_sec=tol).collect()
-        )
+        base = norm(asof_join(left, right, on="user_id", tolerance_sec=tol))
         assert base
+        assert any(t[0] is None for t in base), "NULL-key matches must exist"
         for bucket_sec in (1, 500, 10**9):
-            got = sorted(
-                tuple(r)
-                for r in asof_join_bucketed(
+            got = norm(
+                asof_join_bucketed(
                     left, right, on="user_id", tolerance_sec=tol, bucket_sec=bucket_sec
-                ).collect()
+                )
             )
             assert got == base, (tol, bucket_sec)
 

@@ -209,6 +209,10 @@ def test_whatwg_encoding_aliases():
     assert canonical_encoding("latin-1") == "ISO-8859-1"
     assert canonical_encoding("latin1") == "LATIN1"
     assert canonical_encoding("iso-8859-15") == "ISO-8859-15"
+    # bare UTF-16 means LE (reference quirk, src/config.rs:407); UCS-2 /
+    # UNICODE are NOT in the reference's table -> its unknown->UTF-8 arm
+    assert canonical_encoding("utf-16") == "UTF-16LE"
+    assert canonical_encoding("ucs-2") == "UTF-8"
     # Python-only codecs are not charsets
     assert canonical_encoding("base64") == "UTF-8"
     assert canonical_encoding("rot13") == "UTF-8"
