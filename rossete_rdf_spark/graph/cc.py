@@ -13,6 +13,15 @@ Scale behavior:
   build an exponentially deep plan)
 - convergence is detected with a count of changed edges (one action/round);
   rounds are O(log^2 n) worst case, ~5 for our graphs
+- node ids may be any orderable type; the pipeline passes url/surface
+  STRINGS directly. At 10^12 nodes the production move is to
+  dictionary-encode first (order-preserving dense ids via sort +
+  zipWithIndex, so min-label semantics survive encoding) and run the loop
+  on longs — every round re-shuffles the edge set, and long keys shuffle
+  and compare several times cheaper than urls. Not done here: at test
+  scale the loop is stage-overhead-bound, not byte-bound, so the encode/
+  decode joins would only add noise — but the loop itself is type-agnostic,
+  so the encoded variant plugs in without touching the algorithm.
 """
 
 from __future__ import annotations
