@@ -24,6 +24,8 @@ from .textops.dedup import (
 )
 from .textops.quality import (
     _WINNOW_SEED,
+    SPLIT_BOUNDS,
+    SPLIT_SEED,
     LANG_MARKERS,
     LANG_ORDER,
     TOKEN_RE,
@@ -121,6 +123,19 @@ ORACLES["simhash"] = f"""
 WITH t AS (SELECT doc_id, md5(unnest({_WORDS})) AS h FROM documents),
 s AS (SELECT doc_id, {_sim_sums} FROM t GROUP BY 1)
 SELECT doc_id, {_sim_bits} AS simhash FROM s
+"""
+
+# deterministic split: same md5-prefix hash arithmetic as the Spark side;
+# the 60-bit value is positive, so % == pmod
+ORACLES["doc_train_test_split"] = f"""
+WITH h AS (SELECT doc_id,
+                  ('0x' || substr(md5('{SPLIT_SEED}|' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+           FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {SPLIT_BOUNDS[0]} THEN 'train'
+            WHEN bucket < {SPLIT_BOUNDS[1]} THEN 'val'
+            ELSE 'test' END AS split
+FROM h
 """
 
 ORACLES["token_count"] = f"""

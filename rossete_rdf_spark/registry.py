@@ -32,6 +32,7 @@ from .textops import (
     quality_score,
     simhash,
     token_count,
+    train_test_split,
     winnow_fingerprints,
 )
 
@@ -64,6 +65,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_count": _docs_op(token_count),
     "lang_id": _docs_op(lang_id),
     "quality_score": _docs_op(quality_score),
+    "doc_train_test_split": _docs_op(train_test_split),
     # similarity search + embedding-tier dedup
     "ann_cosine_topk": _emb_op(ann_cosine_topk),
     "ann_lsh_bucket_topk": _emb_op(ann_lsh_bucket_topk),

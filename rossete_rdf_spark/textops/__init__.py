@@ -17,5 +17,6 @@ from .quality import (  # noqa: F401
     lang_id,
     quality_score,
     token_count,
+    train_test_split,
     winnow_fingerprints,
 )

@@ -84,6 +84,44 @@ def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+SPLIT_SEED = "split"
+SPLIT_BOUNDS = (80, 90)  # train < 80 <= val < 90 <= test (of 100 buckets)
+
+
+def train_test_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = SPLIT_SEED,
+    bounds: tuple[int, int] = SPLIT_BOUNDS,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by CONTENT-STABLE hash bucket
+    — the reproducible-split primitive of a training-data pipeline.
+    rand(seed)/sampleBy are partitioning- and engine-dependent (a
+    repartition, an engine migration, or an incremental backfill reshuffles
+    who lands where); hashing the document id gives every row a permanent
+    split that survives all of them, and the same arithmetic runs in any
+    engine (the DuckDB oracle reproduces it bit-for-bit via the md5-prefix
+    hash). Pure projection: no shuffle, no state, safe to recompute
+    anywhere. Change `seed` to draw a fresh independent split."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = F.pmod(h, F.lit(100))
+    lo, hi = bounds
+    split = (
+        F.when(bucket < lo, "train").when(bucket < hi, "val").otherwise("test")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        bucket.cast("long").alias("bucket"),
+        split.alias("split"),
+    )
+
+
 # Winnowing (rolling-hash) fingerprints — Schleimer/Wilkerson/Aiken, the
 # MOSS scheme: hash every word-k-gram, slide a w-window over the positional
 # hash sequence, keep the min of each window. Guarantees any shared run of
