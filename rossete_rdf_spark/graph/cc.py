@@ -9,32 +9,53 @@ Scale behavior:
 - each round is two shuffles keyed by node id; hub nodes (power-law degree)
   are exactly what large-star handles: a hub's neighbors all point at the
   hub's minimum, so its adjacency never re-materializes on one reducer
-- lineage is cut every round with localCheckpoint (the loop would otherwise
-  build an exponentially deep plan)
-- convergence is detected with a count of changed edges (one action/round);
-  rounds are O(log^2 n) worst case, ~5 for our graphs
-- node ids may be any orderable type; the pipeline passes url/surface
-  STRINGS directly. At 10^12 nodes the production move is to
-  dictionary-encode first (order-preserving dense ids via sort +
-  zipWithIndex, so min-label semantics survive encoding) and run the loop
-  on longs — every round re-shuffles the edge set, and long keys shuffle
-  and compare several times cheaper than urls. Not done here: at test
-  scale the loop is stage-overhead-bound, not byte-bound, so the encode/
-  decode joins would only add noise — but the loop itself is type-agnostic,
-  so the encoded variant plugs in without touching the algorithm.
+- lineage is cut with lazy localCheckpoints (the loop would otherwise build
+  an exponentially deep plan); the convergence signature aggregate is the
+  action that materializes each checkpoint, so a wave of TWO star rounds
+  costs ONE driver-synchronizing action (down from two actions per single
+  round) — the loop's serial critical path is what a straggler (or this
+  VM's single-task stall phases) multiplies, so halving the wave count
+  matters as much as the per-wave cost
+- convergence is detected with an order-independent (count, hash-sum)
+  signature, checked once per two-round wave; rounds are O(log^2 n) worst
+  case, ~5 for our graphs, and both star operations are identities on the
+  converged star graph, so overshooting by one round is free-by-idempotence
+- node ids may be any orderable type; connected_components takes url/
+  surface STRINGS directly. At 10^12 nodes use connected_components_encoded
+  below — the production path: dictionary-encode nodes to order-preserving
+  dense longs (so min-label semantics survive encoding), run the untouched
+  loop on longs (every round re-shuffles the edge set, and long keys
+  shuffle and compare several times cheaper than urls), decode once at the
+  end.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _sym(edges: DataFrame) -> DataFrame:
-    """Symmetrize + drop self loops + distinct."""
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    """Symmetrize + drop self loops + distinct.
+
+    Explode-of-both-orientations, NOT edges UNION reversed(edges): one scan
+    of the edge set instead of two, and no Union node — Catalyst's
+    UnionBase.rewriteConstraints crashes ("key not found: dst#N") on
+    self-unions of join-built edge plans (the dictionary-encoded path feeds
+    exactly that shape)."""
     return (
-        edges.unionByName(rev)
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
@@ -62,10 +83,16 @@ def _small_star(edges: DataFrame) -> DataFrame:
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).distinct()
     m = e.groupBy("src").agg(F.min("dst").alias("m"))
+    # (dst -> m) for every neighbor PLUS (u -> m) for the center, emitted by
+    # exploding both endpoints of each joined row (distinct collapses the
+    # per-row center duplicates) — union-free for the same Catalyst
+    # constraint-rewrite reason as _sym
     return (
         e.join(m, "src")
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .unionByName(m.select(F.col("src"), F.col("m").alias("dst")))
+        .select(
+            F.explode(F.array(F.col("dst"), F.col("src"))).alias("src"),
+            F.col("m").alias("dst"),
+        )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
@@ -113,7 +140,10 @@ def connected_components(
         ).collect()[0]
         return (row["c"], row["h"])
 
-    e = _sym(edges).localCheckpoint(eager=True) if checkpoint else _sym(edges)
+    # LAZY checkpoint + signature aggregate = ONE action that both
+    # materializes the checkpoint and signs the edge set (an eager
+    # checkpoint would be a second, separate job per wave)
+    e = _sym(edges).localCheckpoint(eager=False) if checkpoint else _sym(edges)
     sig = _sig(e)
     target = (
         shuffle_partitions
@@ -123,10 +153,21 @@ def connected_components(
     try:
         if target != cur:
             spark.conf.set("spark.sql.shuffle.partitions", str(target))
-        for _ in range(max_rounds):
+        rounds = 0
+        while rounds < max_rounds:
+            # TWO star rounds per convergence wave: checkpointing and
+            # signing every round doubled the loop's serial action count
+            # for no information — the star operations are idempotent on
+            # the converged set, so a wave that overshoots converges to the
+            # same fixed point, and the lineage across two rounds is still
+            # shallow enough to plan cheaply
             e2 = _small_star(_large_star(e))
+            rounds += 1
+            if rounds < max_rounds:
+                e2 = _small_star(_large_star(e2))
+                rounds += 1
             if checkpoint:
-                e2 = e2.localCheckpoint(eager=True)
+                e2 = e2.localCheckpoint(eager=False)
             sig2 = _sig(e2)
             e = e2
             if sig2 == sig:  # converged: the canonicalized edge set is stable
@@ -149,3 +190,94 @@ def connected_components(
         return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(cur))
+
+
+def dictionary_encode_nodes(
+    edges: DataFrame, partitions: int | None = None
+) -> DataFrame:
+    """(node, nid) dictionary with ORDER-PRESERVING dense long ids: the rank
+    of each distinct node under its natural ordering. Order preservation is
+    load-bearing — the CC loop labels components with the MIN node id, so
+    min(nid) must decode back to min(node).
+
+    All JVM-side and fully distributed (no zipWithIndex RDD pass through
+    Python, no single-partition window):
+      1. range-repartition the distinct node set — partition i holds keys
+         strictly below partition i+1, so (partition id, within-partition
+         rank) is a global rank;
+      2. per-partition counts -> exclusive prefix offsets (one row per
+         partition: driver-free, broadcast back);
+      3. nid = offset[partition] + row_number within the partition (the
+         window's sort is bounded by one range partition, never the node
+         set).
+    The two consumers of the ranged set (counts + rank) share one lazy
+    localCheckpoint so the distinct+range shuffle runs once."""
+    spark = edges.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # single-pass explode, not select(src) UNION select(dst): one scan of
+    # the edge set instead of two, and it sidesteps a Catalyst constraint-
+    # rewrite crash (UnionBase.rewriteConstraints "key not found: dst#N")
+    # on self-unions of multi-join edge plans
+    nodes = edges.select(
+        F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+    ).distinct()
+    ranged = (
+        nodes.repartitionByRange(p, "node")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        # single-partition window over <= `p` rows — tiny by construction
+        .withColumn("__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    w_rank = Window.partitionBy("__pid").orderBy("node")
+    return ranged.join(F.broadcast(offsets), "__pid").select(
+        "node",
+        (F.col("__off") + F.row_number().over(w_rank) - 1).alias("nid"),
+    )
+
+
+def connected_components_encoded(
+    edges: DataFrame,
+    max_rounds: int = 20,
+    checkpoint: bool = True,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """connected_components through an order-preserving long-id dictionary —
+    the 10^12-node production path: every CC round re-shuffles the edge set
+    ~7 times, and dense long keys shuffle, hash, and compare several times
+    cheaper than url/surface strings, so the one-time encode (two joins) and
+    decode (two joins) amortize immediately at scale. Output-equivalent to
+    connected_components by construction (encoding preserves order, so
+    min-label components decode to the same min node; property-tested in
+    tests/test_ops_properties.py).
+
+    The dictionary is referenced four times (encode src/dst, decode
+    node/component) — lazily checkpointed once so its DAG runs once. At
+    test scale AQE broadcasts it into all four joins; at 10^12 nodes they
+    become shuffle joins on the dense key, which is the point."""
+    d = dictionary_encode_nodes(edges, shuffle_partitions).localCheckpoint(
+        eager=False
+    )
+    enc = (
+        edges.join(
+            d.select(F.col("node").alias("src"), F.col("nid").alias("__s")), "src"
+        )
+        .join(d.select(F.col("node").alias("dst"), F.col("nid").alias("__d")), "dst")
+        .select(F.col("__s").alias("src"), F.col("__d").alias("dst"))
+    )
+    comp = connected_components(enc, max_rounds, checkpoint, shuffle_partitions)
+    return (
+        comp.join(
+            d.select(F.col("nid").alias("node"), F.col("node").alias("__n")), "node"
+        )
+        .join(
+            d.select(F.col("nid").alias("component"), F.col("node").alias("__c")),
+            "component",
+        )
+        .select(F.col("__n").alias("node"), F.col("__c").alias("component"))
+    )

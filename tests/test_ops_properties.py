@@ -97,6 +97,59 @@ def test_asof_join_bucketed_matches_asof_join(spark):
             assert got == base, (tol, bucket_sec)
 
 
+def test_dictionary_encode_nodes_is_rank(spark):
+    """Encoded ids must be the dense rank of the node under its natural
+    ordering — order preservation is what lets min-label components decode
+    to the min node."""
+    from rossete_rdf_spark.graph.cc import dictionary_encode_nodes
+
+    edges = spark.range(100).select(
+        F.concat(F.lit("u"), ((F.col("id") * 13) % 57).cast("string")).alias("src"),
+        F.concat(F.lit("u"), ((F.col("id") * 7) % 41).cast("string")).alias("dst"),
+    )
+    d = {r.node: r.nid for r in dictionary_encode_nodes(edges).collect()}
+    assert d == {n: i for i, n in enumerate(sorted(d))}
+
+
+def test_connected_components_encoded_matches_string_cc(spark):
+    """The dictionary-encoded 10^12-node path must be output-identical to
+    the string-keyed loop — across graph shapes: chains (worst-case round
+    count), stars, random unions, singleton edges, and the pagedup exact
+    duplicate graph."""
+    from rossete_rdf_spark.graph.cc import (
+        connected_components,
+        connected_components_encoded,
+    )
+    from rossete_rdf_spark.pipeline.pagedup import exact_duplicate_edges
+
+    def norm(df):
+        return sorted((r.node, r.component) for r in df.collect())
+
+    u = lambda i: F.concat(F.lit("u"), i.cast("string"))  # noqa: E731
+    graphs = [
+        # chain u0-u1-...-u29: one component, max star rounds
+        spark.range(29).select(u(F.col("id")).alias("src"), u(F.col("id") + 1).alias("dst")),
+        # 5 stars of 40 leaves each
+        spark.range(200).select(
+            u(F.col("id") % 5).alias("src"), u(F.col("id") + 10).alias("dst")
+        ),
+        # pseudo-random unions (dense mixing, several components)
+        spark.range(400).select(
+            u((F.col("id") * 37) % 97).alias("src"),
+            u((F.col("id") * 53) % 89).alias("dst"),
+        ),
+    ]
+    pages = spark.range(60).select(
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("text "), (F.col("id") % 13).cast("string")).alias("text"),
+    )
+    graphs.append(exact_duplicate_edges(pages))
+    for i, g in enumerate(graphs):
+        base = norm(connected_components(g))
+        assert base, f"graph {i} produced no components"
+        assert norm(connected_components_encoded(g)) == base, f"graph {i}"
+
+
 def test_salted_top_k_matches_unsalted(spark):
     from rossete_rdf_spark.relops import salted_top_k_per_group, top_k_per_group
 
