@@ -115,7 +115,19 @@ def kg_job(spark, n_pages: int, partitions: int, min_words: int = 240,
     return n
 
 
+SLOW_QUERY_PROBE_SEC = 20.0
+
+
 def run_queries_phase(sf_dir: str, cpus: int) -> dict:
+    """Returns {"timings": {...}, "probes": {...}}.
+
+    The queries phase is probe-BRACKETED like the kg/scaling phases already
+    are: two rounds in a row the official driver record drifted uniformly
+    1.5-4x across all ~50 unrelated plans (a VM slow phase), and the only
+    way to show that was cross-referencing a separately-committed local
+    file. A calibration probe before and after the phase (plus one after
+    any query slower than SLOW_QUERY_PROBE_SEC) rides in the parsed final
+    line, so a contaminated phase is visible IN the artifact."""
     timings: dict[str, float] = {}
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
     # warm-up: pay codegen/Arrow/scan-listing startup outside the measurements,
@@ -132,13 +144,21 @@ def run_queries_phase(sf_dir: str, cpus: int) -> dict:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     QUERIES["streaming_sessionize"](spark, warm_dir).count()
+    jvm_probe(spark)  # discard: first probe pays its own codegen/JIT
+    probes: dict[str, float] = {"before": jvm_probe(spark)}
     for name in HEADLINE:
         t0 = time.time()
         _force(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        if timings[name] > SLOW_QUERY_PROBE_SEC:
+            # a probe right after an expensive query: was the box slow WHILE
+            # this query ran, or is the query itself the cost?
+            probes[f"after_{name}"] = jvm_probe(spark)
+    probes["after"] = jvm_probe(spark)
+    print(f"[bench] queries-phase probes: {probes}", file=sys.stderr, flush=True)
     spark.stop()
-    return timings
+    return {"timings": timings, "probes": probes}
 
 
 def run_kg_phase(n_pages: int, kg_cores: int) -> dict:
@@ -226,8 +246,10 @@ def main() -> None:
         return
 
     t_all = time.time()
-    queries_full = _phase_subprocess("queries")
-    detail: dict = {"queries_sec": queries_full}
+    queries_phase = _phase_subprocess("queries")
+    queries_full = queries_phase["timings"]
+    detail: dict = {"queries_sec": queries_full,
+                    "queries_probes": queries_phase["probes"]}
     result = {
         "metric": "bench_total",
         "value": None,  # filled at the end
@@ -235,6 +257,10 @@ def main() -> None:
         # rounded to 0.1s in the compact line; full precision in the
         # [bench-detail] stderr line
         "queries": {k: round(v, 1) for k, v in queries_full.items()},
+        # bracketing (and per-slow-query) calibration probes: a uniformly
+        # slow queries phase is a VM phase when these sit far above the
+        # session's probe floor — in-band evidence, no side files needed
+        "queries_probes": queries_phase["probes"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -319,8 +345,22 @@ def main() -> None:
             fl = _floor()
             if rp and fl and max(rp) > 2 * fl:
                 return True
-            pp = [p for p in par_probes[cores] if p is not None]
-            return len(pp) > 1 and pp[-1] > 2 * min(pp)
+            last = par_probes[cores][-1]
+            if last is None:
+                return False
+            # reference for the parallel tell: same-level history when it
+            # exists (like-for-like copy count), else the OTHER level's
+            # floor — so a parallel-phase-contaminated rep0 with clean
+            # bracketing probes (the documented round-4 failure mode) is
+            # still caught instead of silently surviving the len>1 guard.
+            # Cross-level comparison is conservative: more copies can only
+            # be slower, so a hi rep0 tested against the lo floor needs a
+            # genuine >2x excursion to trip.
+            same = [p for p in par_probes[cores][:-1] if p is not None]
+            other = [p for c, ps in par_probes.items() if c != cores
+                     for p in ps if p is not None]
+            ref = min(same) if same else (min(other) if other else None)
+            return ref is not None and last > 2 * ref
 
         for rep in range(reps):
             for cores in (lo, hi):

@@ -150,9 +150,9 @@ def connected_components(
         if shuffle_partitions is not None
         else min(cur, max(8, (sig[0] or 1) // 500_000 + 1))
     )
-    try:
-        if target != cur:
-            spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    from ..session import scoped_conf
+
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": str(target)}):
         rounds = 0
         while rounds < max_rounds:
             # TWO star rounds per convergence wave: checkpointing and
@@ -188,8 +188,6 @@ def connected_components(
             # small-partition plan is what actually runs
             out = out.localCheckpoint(eager=True)
         return out
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(cur))
 
 
 def dictionary_encode_nodes(

@@ -93,11 +93,27 @@ _minhash_cols = ", ".join(
     f"min(('0x' || substr(md5('{i}|' || ng), 1, 15))::BIGINT) AS h{i}"
     for i in range(N_HASHES)
 )
-_band_selects = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, "
-    f"md5(h{b * BAND_ROWS}::VARCHAR || '|' || h{b * BAND_ROWS + 1}::VARCHAR) AS key FROM sig"
-    for b in range(N_HASHES // BAND_ROWS)
-)
+
+
+def _band_select_sql(id_col: str, table: str) -> str:
+    """Band key = md5 of the '|'-joined band rows, with the row list
+    generated from range(BAND_ROWS) exactly like the Spark side's concat_ws
+    (textops/dedup.py minhash_lsh_pairs) — so a change to N_HASHES or
+    BAND_ROWS cannot silently diverge the oracle's key from the engine's."""
+    return " UNION ALL ".join(
+        "SELECT {id}, {b} AS band, md5({cols}) AS key FROM {t}".format(
+            id=id_col,
+            b=b,
+            t=table,
+            cols=" || '|' || ".join(
+                f"h{b * BAND_ROWS + r}::VARCHAR" for r in range(BAND_ROWS)
+            ),
+        )
+        for b in range(N_HASHES // BAND_ROWS)
+    )
+
+
+_band_selects = _band_select_sql("doc_id", "sig")
 ORACLES["minhash_lsh_pairs"] = f"""
 WITH g AS (SELECT doc_id, unnest({_NGRAMS}) AS ng FROM documents),
 sig AS (SELECT doc_id, {_minhash_cols} FROM g GROUP BY 1),
@@ -595,11 +611,7 @@ _pl_minhash_cols = ", ".join(
     f"min(('0x' || substr(md5('{i}|' || ng), 1, 15))::BIGINT) AS h{i}"
     for i in range(N_HASHES)
 )
-_pl_band_selects = " UNION ALL ".join(
-    f"SELECT url, {b} AS band, "
-    f"md5(h{b * BAND_ROWS}::VARCHAR || '|' || h{b * BAND_ROWS + 1}::VARCHAR) AS key FROM psig"
-    for b in range(N_HASHES // BAND_ROWS)
-)
+_pl_band_selects = _band_select_sql("url", "psig")
 ORACLES["page_canonical_lsh"] = f"""
 WITH RECURSIVE
 p AS (

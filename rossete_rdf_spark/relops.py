@@ -275,23 +275,24 @@ def rel_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffling only the ~matching fraction; the plan assert lives in
     tests/test_plans.py.
 
-    Conf scoping: injection happens at optimization time, so the function
-    lowers the application-side size threshold (the 10 GB default assumes a
-    real cluster's scans; test scans are KBs), disables auto-broadcast (the
-    rule only guards shuffle joins — a broadcast join needs no runtime
-    filter), forces the optimized plan to MATERIALIZE under those confs, and
-    restores the session values before returning — the memoized plan keeps
-    the injected filter; later queries keep their defaults. Correctness is
-    conf-independent: the bloom filter only prunes rows the join would drop."""
-    scoped = {
+    Conf scoping (session.scoped_conf, memoize-inside idiom — see its
+    docstring for the not-thread-safe caveat and the re-planning caveat):
+    injection happens at optimization time, so the function lowers the
+    application-side size threshold (the 10 GB default assumes a real
+    cluster's scans; test scans are KBs), disables auto-broadcast (the rule
+    only guards shuffle joins — a broadcast join needs no runtime filter),
+    forces the optimized plan to MATERIALIZE under those confs, and asserts
+    the filter actually landed — a silent loss of the injection (Spark
+    version drift, conf interference) fails HERE, not only in
+    tests/test_plans.py. Correctness is conf-independent: the bloom filter
+    only prunes rows the join would drop."""
+    from .session import scoped_conf
+
+    with scoped_conf(spark, {
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    old = {k: spark.conf.get(k, None) for k in scoped}
-    for k, v in scoped.items():
-        spark.conf.set(k, v)
-    try:
+    }):
         part = spark.read.parquet(f"{sf_dir}/part.parquet")
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         dim = part.filter(F.col("p_brand") == "Brand#13")
@@ -305,14 +306,12 @@ def rel_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("revenue"),
             )
         )
-        out._jdf.queryExecution().optimizedPlan()  # memoize the injected plan
-        return out
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+        # memoize the injected plan inside the scope + prove the injection
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, (
+            "runtime bloom filter was not injected into the fact scan"
+        )
+    return out
 
 
 def rel_skew_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,8 +16,9 @@ quirks ("KOI8"->KOI8-R, "WINDOWS"->windows-1258, "UTF-16"->LE, unknown ->
 UTF-8; src/config.rs:378-425). Spark's CSV reader takes java.nio charset
 names, which don't accept all WHATWG labels — canonical_encoding() replays
 the reference's exact table onto java.nio names, including the
-unknown->UTF-8 default. Two labels have no JVM decoder at all (REPLACEMENT,
-X-USER-DEFINED) and fall back to UTF-8, documented per-entry below.
+unknown->UTF-8 default. Four labels have no JVM decoder at all (REPLACEMENT,
+X-USER-DEFINED, ISO-8859-10, ISO-8859-14) and fall back to UTF-8, documented
+per-entry below.
 """
 
 from __future__ import annotations
@@ -36,8 +37,11 @@ _WHATWG_TO_JAVA: dict[str, str] = {
     "BIG5": "Big5",
     "ISO-8859-8-I": "ISO-8859-8",  # logical-order variant, same byte decode
     "KOI8": "KOI8-R",  # reference quirk: bare KOI8 means KOI8-R
-    "LATIN-1": "ISO-8859-1",  # java.nio knows LATIN1 but not the dashed form
     "MACINTOSH": "x-MacRoman",
+    # in the reference's table but with NO JVM decoder -> UTF-8 fallback,
+    # same class as REPLACEMENT / X-USER-DEFINED below
+    "ISO-8859-10": "UTF-8",
+    "ISO-8859-14": "UTF-8",
     "REPLACEMENT": "UTF-8",  # WHATWG poison decoder; no JVM analogue
     "SHIFT_JIS": "Shift_JIS",
     "UTF-16": "UTF-16LE",  # reference quirk: UTF-16 means LE
@@ -48,18 +52,20 @@ _WHATWG_TO_JAVA: dict[str, str] = {
 }
 
 
-# Identity WHATWG labels that java.nio also accepts verbatim. An explicit
-# whitelist, NOT a codecs.lookup probe: Python's registry admits Python-only
-# transforms (BASE64, ROT13, PUNYCODE, QUOPRI, UNICODE_ESCAPE, ...) that
-# java.nio rejects with UnsupportedCharsetException mid-scan — those must take
-# the reference's unknown->UTF-8 arm instead. Every label here is verified
-# against this JVM's Charset.forName; ISO-8859-10 and ISO-8859-14 have NO
-# JVM decoder (like REPLACEMENT / X-USER-DEFINED above) and deliberately
-# fall through to UTF-8, and the dashed LATIN-1 maps via the table above.
+# Identity labels: EXACTLY the reference's match arms (src/config.rs:378-425)
+# that java.nio also accepts verbatim — an explicit whitelist, NOT a
+# codecs.lookup probe: Python's registry admits Python-only transforms
+# (BASE64, ROT13, PUNYCODE, QUOPRI, UNICODE_ESCAPE, ...) that java.nio
+# rejects with UnsupportedCharsetException mid-scan. Labels the reference
+# does NOT list — LATIN-1/LATIN1, US-ASCII/ASCII, ISO-8859-1/-9/-11,
+# GB2312, BIG5-HKSCS, TIS-620, UCS-2 — take its `_ =>` unknown->UTF-8 arm
+# here too, even though java.nio could decode most of them: the table is an
+# exact replay, so non-ASCII bytes under these labels decode identically to
+# the reference.
 _IDENTITY_LABELS = re.compile(
-    r"^(UTF-8|UTF-16(BE|LE)|US-ASCII|ASCII|LATIN1"
-    r"|ISO-8859-(1[1356]|[1-9])|IBM866|KOI8-[RU]|WINDOWS-125[0-8]"
-    r"|GBK|GB18030|GB2312|BIG5-HKSCS|EUC-JP|ISO-2022-JP|EUC-KR|TIS-620)$"
+    r"^(UTF-8|UTF-16(BE|LE)"
+    r"|ISO-8859-(1[356]|[2-8])|IBM866|KOI8-[RU]|WINDOWS-125[0-8]"
+    r"|GBK|GB18030|EUC-JP|ISO-2022-JP|EUC-KR)$"
 )
 
 

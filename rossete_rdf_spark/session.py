@@ -9,10 +9,43 @@ from __future__ import annotations
 
 import os
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, confs: dict[str, str]):
+    """Temporarily set session confs; restore (or unset) on exit.
+
+    NOT thread-safe: spark.conf is session-global, so a concurrent query on
+    the same SparkSession would plan under the scoped values (same caveat as
+    graph/cc.py's loop sizing).
+
+    Two distinct usage idioms — pick deliberately:
+    - memoize-inside: for OPTIMIZATION-time behavior (e.g. runtime
+      bloom-filter injection), force the optimized plan to materialize
+      INSIDE the scope (df._jdf.queryExecution().optimizedPlan()) and
+      return the DataFrame; the memoized plan keeps the rewrite after the
+      restore. Caveat: composing the result into a NEW plan re-optimizes
+      under the restored confs and silently loses the rewrite
+      (relops.rel_runtime_filter_join).
+    - hold-past-action: for EXECUTION-time behavior (AQE decisions such as
+      skew-join splitting), keep the scope open across the collect/count,
+      because AQE re-plans while the job runs (tests/test_plans.py)."""
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def _ensure_driver_memory() -> None:
@@ -75,6 +108,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # driver memory itself is injected pre-JVM by _ensure_driver_memory
         .config("spark.memory.fraction", "0.7")
+        # Speculative execution: the standard straggler mitigation on a real
+        # cluster (a slow/stuck copy of a task gets a duplicate on a healthy
+        # executor; first finisher wins) — and on this sandbox it is ALSO the
+        # direct answer to the VM's measured pathology of single-task stalls
+        # inside otherwise-healthy stages (BENCH.md): the stalled thread's
+        # task gets re-run on a clean core instead of holding the stage. The
+        # quantile is lowered from 0.75 so the 2-task stages our iterative
+        # loops produce can speculate at all (0.75*2 rounds to "both done").
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "2")
+        .config("spark.speculation.quantile", "0.5")
         # min_by/collect-style aggregates run on ObjectHashAggregate, which
         # falls back to SORT-based aggregation after only 128 distinct keys
         # per task by default — defeating the whole point of hash-based

@@ -105,29 +105,22 @@ def test_skew_join_actually_splits(spark):
     # The decision is made at RUNTIME by AQE, so the confs stay set until
     # after the collect.
     from rossete_rdf_spark.relops import rel_skew_join_agg
+    from rossete_rdf_spark.session import scoped_conf
 
-    scoped = {
+    # hold-past-action idiom: AQE makes the split while the job runs, so the
+    # scope stays open across the collect (see scoped_conf's docstring)
+    with scoped_conf(spark, {
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    old = {k: spark.conf.get(k, None) for k in scoped}
-    try:
-        for k, v in scoped.items():
-            spark.conf.set(k, v)
+    }):
         df = rel_skew_join_agg(spark, SF_SKEW)
         rows = {r.tag: (r.n_items, r.sum_qty) for r in df.collect()}
         assert rows["grp0"][0] > 5 * rows["grp1"][0]  # the hub is real
         plan = _plan(df)
         final = plan.split("== Initial Plan ==")[0]
         assert "skew=true" in final
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 def test_rml_graph_plan_has_no_python(spark):

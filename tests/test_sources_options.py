@@ -206,9 +206,18 @@ def test_whatwg_encoding_aliases():
     assert canonical_encoding("iso-8859-10") == "UTF-8"
     assert canonical_encoding("iso-8859-12") == "UTF-8"
     assert canonical_encoding("iso-8859-14") == "UTF-8"
-    assert canonical_encoding("latin-1") == "ISO-8859-1"
-    assert canonical_encoding("latin1") == "LATIN1"
+    # labels ABSENT from the reference's exact-match table take its
+    # unknown->UTF-8 arm even when java.nio could decode them — the table
+    # is an exact replay, not a best-effort decode
+    assert canonical_encoding("latin-1") == "UTF-8"
+    assert canonical_encoding("latin1") == "UTF-8"
+    assert canonical_encoding("us-ascii") == "UTF-8"
+    assert canonical_encoding("iso-8859-1") == "UTF-8"
+    assert canonical_encoding("iso-8859-9") == "UTF-8"
+    assert canonical_encoding("gb2312") == "UTF-8"
+    assert canonical_encoding("tis-620") == "UTF-8"
     assert canonical_encoding("iso-8859-15") == "ISO-8859-15"
+    assert canonical_encoding("iso-8859-16") == "ISO-8859-16"
     # bare UTF-16 means LE (reference quirk, src/config.rs:407); UCS-2 /
     # UNICODE are NOT in the reference's table -> its unknown->UTF-8 arm
     assert canonical_encoding("utf-16") == "UTF-16LE"
