@@ -359,6 +359,10 @@ SELECT user_id, purchase_id, purchase_ts, purchase_value, click_id, click_ts
 FROM j WHERE rn = 1
 """
 
+# the bucketed variant is output-equivalent BY CONSTRUCTION (property-tested
+# against asof_join incl. NULL hub keys) — one oracle serves both plans
+ORACLES["events_asof_join_bucketed"] = ORACLES["events_asof_join"]
+
 # salted aggregation: the salt is an implementation detail — the oracle is
 # the plain GROUP BY the two-stage plan must reproduce exactly
 ORACLES["mention_counts_salted"] = f"""
@@ -376,6 +380,20 @@ r AS (SELECT *, row_number() OVER (PARTITION BY event_type
                                    ORDER BY total_value DESC, user_id ASC) AS rk
       FROM per_user)
 SELECT event_type, user_id, total_value, rk::BIGINT AS rk FROM r WHERE rk <= 3
+"""
+
+# the salt is an implementation detail: the oracle is the plain global
+# row_number over the planted tie-heavy hub, with the same (score, event_id)
+# deterministic order key the Spark side packs
+ORACLES["events_top_spenders_salted"] = """
+WITH fact AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN event_type ELSE 'hot' END AS grp,
+         event_id, user_id, CAST(floor(value) AS BIGINT) AS score
+  FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY grp
+                                   ORDER BY score DESC, event_id DESC) AS rk
+      FROM fact)
+SELECT grp, event_id, user_id, score, rk::BIGINT AS rk FROM r WHERE rk <= 5
 """
 
 ORACLES["events_value_quantiles"] = """

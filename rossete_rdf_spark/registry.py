@@ -82,9 +82,11 @@ QUERIES: dict[str, QueryFn] = {
     "rel_runtime_filter_join": relops.rel_runtime_filter_join,
     "rel_skew_join_agg": relops.rel_skew_join_agg,
     "events_asof_join": relops.events_asof_join,
+    "events_asof_join_bucketed": relops.events_asof_join_bucketed,
     "events_range_join": relops.events_range_join,
     "events_moving_avg": relops.events_moving_avg,
     "events_top_spenders": relops.events_top_spenders,
+    "events_top_spenders_salted": relops.events_top_spenders_salted,
     "events_value_quantiles": relops.events_value_quantiles,
     "mention_counts_salted": relops.mention_counts_salted,
     "events_rollup": relops.events_rollup,

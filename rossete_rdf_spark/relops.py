@@ -184,7 +184,12 @@ def asof_join_bucketed(
     every cross-bucket match on the NULL key."""
     rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     lt, rt = _asof_tag(left, right, on, left_ts, right_ts, rcols)
-    b = F.floor(F.col("__ts").cast("long") / F.lit(bucket_sec))
+    # cast through "timestamp" first: a no-op for TIMESTAMP columns, and the
+    # session-UTC conversion for TIMESTAMP_NTZ ones (Spark 4 refuses a
+    # direct NTZ -> BIGINT cast); buckets only need a monotonic second count
+    b = F.floor(
+        F.col("__ts").cast("timestamp").cast("long") / F.lit(bucket_sec)
+    )
     u = lt.unionByName(rt).withColumn("__b", b)
     w_in = (
         Window.partitionBy(on, "__b")
@@ -366,6 +371,34 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts"
     )
     out = asof_join(pur, clk, on="user_id", right_cols=["event_id"])
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+        F.col("right_event_id").alias("click_id"),
+        F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
+def events_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_asof_join through the hub-safe BUCKETED as-of join: identical
+    semantics (property-tested output-equivalent, tests/test_ops_properties),
+    so it shares events_asof_join's oracle — but the execution plan replaces
+    the per-key full-history sort with per-(key, 6h-bucket) bounded sorts
+    plus a cross-bucket carry over the per-key bucket list. This is the
+    variant to reach for when single keys (bot users, null-ish default ids)
+    accumulate more history than one partition should sort."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join_bucketed(
+        pur, clk, on="user_id", right_cols=["event_id"], bucket_sec=21600
+    )
     return out.select(
         "user_id",
         F.col("event_id").alias("purchase_id"),
@@ -579,6 +612,34 @@ def events_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
     )
     return ranked.select("event_type", "user_id", "total_value", "rk")
+
+
+def events_top_spenders_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-safe top-k over a PLANTED tie-heavy hub group: every non-purchase
+    event collapses into one 'hot' group (most of the table) and the ranking
+    score is the value floored to whole units, so thousands of hub rows tie
+    on the same score — exactly the shape that lands on ONE reducer if the
+    salt derives from the ranking value instead of the whole row
+    (salted_top_k_per_group's row-distinct xxhash64 salt spreads it; the
+    heavy-ties property test proves the spread). Ranks RAW events — k per
+    salt slice, then k-of-k — and packs (score, event_id) as the order key
+    so output is deterministic and oracle-comparable despite the ties."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fact = ev.select(
+        F.when(F.col("event_type") == "purchase", F.col("event_type"))
+        .otherwise(F.lit("hot"))
+        .alias("grp"),
+        "event_id",
+        "user_id",
+        F.floor("value").cast("long").alias("score"),
+    )
+    ranked = salted_top_k_per_group(
+        fact.withColumn("__ord", F.struct(F.col("score"), F.col("event_id"))),
+        ["grp"],
+        "__ord",
+        k=5,
+    )
+    return ranked.select("grp", "event_id", "user_id", "score", "rk")
 
 
 def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
