@@ -582,15 +582,26 @@ SELECT id_a, id_b, cos FROM scored WHERE cos >= {EMB_NEARDUP_THRESHOLD}
 # streaming twin: one availableNow micro-batch == the batch aggregation
 ORACLES["streaming_hourly_agg"] = ORACLES["events_hourly_agg"]
 
-# multimodal plumbing: payload = utf-8 text bytes; feature byte 0 = first
-# md5 digest byte (the mapInPandas stub divides it by 255; the Spark query
-# multiplies back, so both sides compare exact integers)
+# multimodal: the Spark side decodes REAL BMP/PPM bytes (header parse +
+# numpy channel means); the oracle replays the synth gradient's closed
+# forms in the id — value(x,y,c) = id%200 + x + y + c, so mean_c =
+# base + (w-1)/2 + (h-1)/2 + c, n_bytes = header + (padded) pixel bytes.
+# All means are exact multiples of 0.5, so round(_, 6) is tie-free.
 ORACLES["multimodal_features"] = """
-SELECT doc_id AS media_id,
-       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       octet_length(encode(text))::BIGINT AS n_bytes,
-       ('0x' || substr(md5(text), 1, 2))::BIGINT AS f0_byte
-FROM documents
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS kind,
+         4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h, doc_id % 200 AS base
+  FROM documents)
+SELECT media_id, kind,
+       (CASE WHEN kind = 'bmp' THEN 54 + ((3 * w + 3) // 4) * 4 * h
+             ELSE 9 + length(w::VARCHAR) + length(h::VARCHAR) + 3 * w * h
+        END)::BIGINT AS n_bytes,
+       w::BIGINT AS width, h::BIGINT AS height,
+       round(base + (w - 1) / 2.0 + (h - 1) / 2.0, 6) AS mean_r,
+       round(base + (w - 1) / 2.0 + (h - 1) / 2.0 + 1, 6) AS mean_g,
+       round(base + (w - 1) / 2.0 + (h - 1) / 2.0 + 2, 6) AS mean_b
+FROM m
 """
 
 ORACLES["rml_graph_quads"] = f"""

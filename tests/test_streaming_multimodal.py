@@ -3,9 +3,9 @@
 from __future__ import annotations
 
 from rossete_rdf_spark.pipeline.multimodal import (
-    FEATURE_DIM,
-    decode_image_stub,
+    decode_image,
     extract_media_features,
+    synth_image_bytes,
     synth_media,
 )
 from rossete_rdf_spark.relops import events_hourly_agg
@@ -48,18 +48,41 @@ def test_multimodal_feature_plumbing(spark):
     rows = feats.collect()
     assert len(rows) == 90
     by_id = {r["media_id"]: r for r in rows}
-    assert by_id[0]["kind"] == "image"
-    assert all(len(r["features"]) == FEATURE_DIM for r in rows)
-    # deterministic: same payload bytes -> same features
-    expected = decode_image_stub(b"media-payload-7")
-    assert [round(x, 6) for x in by_id[7]["features"]] == [
-        round(x, 6) for x in expected
-    ]
-    assert by_id[7]["n_bytes"] == len(b"media-payload-7")
+    assert by_id[0]["kind"] == "bmp" and by_id[7]["kind"] == "ppm"
+    # the distributed decode must equal the local decode of the same bytes,
+    # and both must equal the generator's closed forms
+    for mid in (0, 7, 41):
+        codec = "bmp" if mid % 2 == 0 else "ppm"
+        payload = synth_image_bytes(mid, codec)
+        w, h, mr, mg, mb = decode_image(payload)
+        r = by_id[mid]
+        assert (r["width"], r["height"]) == (w, h) == (4 + mid % 4, 3 + mid % 3)
+        base = mid % 200
+        assert mr == base + (w - 1) / 2 + (h - 1) / 2
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (mr, mg, mb)
+        assert r["n_bytes"] == len(payload)
 
 
-def test_multimodal_real_decode_is_gated():
+def test_multimodal_decoders_parse_real_headers():
+    # a BMP with top-down rows (negative height) decodes to the same means
+    bmp = bytearray(synth_image_bytes(4, "bmp"))
+    w, h, mr, mg, mb = decode_image(bytes(bmp))
+    neg_h = (-h) & 0xFFFFFFFF
+    bmp[22:26] = neg_h.to_bytes(4, "little")
+    assert decode_image(bytes(bmp)) == (w, h, mr, mg, mb)
+    # PPM whose first pixel byte is whitespace-valued (0x20) must not lose it
+    ppm = b"P6\n2 1\n255\n" + bytes([0x20, 0x0A, 0x09, 60, 61, 62])
+    pw, ph, pr, pg, pb = decode_image(ppm)
+    assert (pw, ph) == (2, 1)
+    assert (pr, pg, pb) == ((0x20 + 60) / 2, (0x0A + 61) / 2, (0x09 + 62) / 2)
+
+
+def test_multimodal_compressed_formats_are_gated():
     import pytest
 
+    # JPEG magic: compressed codecs need real media libs — must raise, not
+    # silently return garbage
     with pytest.raises(NotImplementedError):
-        decode_image_stub(b"x", fake=False)
+        decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\nrest-of-png")
