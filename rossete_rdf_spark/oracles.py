@@ -28,6 +28,7 @@ from .textops.quality import (
     SPLIT_SEED,
     LANG_MARKERS,
     LANG_ORDER,
+    TFIDF_TOP_K,
     TOKEN_RE,
     WINNOW_K,
     WINNOW_W,
@@ -152,6 +153,36 @@ SELECT doc_id, bucket,
             WHEN bucket < {SPLIT_BOUNDS[1]} THEN 'val'
             ELSE 'test' END AS split
 FROM h
+"""
+
+# TF-IDF top terms: identical tokenization (lowercased whitespace words),
+# identical smoothing, and — load-bearing — the ORDER BY uses the 6-dp-ROUNDED
+# score exactly like the Spark window, so a last-ulp ln() difference between
+# libm implementations cannot flip a rank
+_LWORDS = sql_words("lower(text)")
+ORACLES["doc_tfidf_top_terms"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_LWORDS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS cnt FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, sum(cnt) AS len FROM tf GROUP BY 1
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*)::DOUBLE AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round((tf.cnt / dl.len) * ln((n.n + 1) / (dfreq.df + 1)), 6) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 ORACLES["token_count"] = f"""

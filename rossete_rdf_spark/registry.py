@@ -31,6 +31,7 @@ from .textops import (
     ngram_jaccard_pairs,
     quality_score,
     simhash,
+    tfidf_top_terms,
     token_count,
     train_test_split,
     winnow_fingerprints,
@@ -66,6 +67,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": _docs_op(lang_id),
     "quality_score": _docs_op(quality_score),
     "doc_train_test_split": _docs_op(train_test_split),
+    "doc_tfidf_top_terms": _docs_op(tfidf_top_terms),
     # similarity search + embedding-tier dedup
     "ann_cosine_topk": _emb_op(ann_cosine_topk),
     "ann_lsh_bucket_topk": _emb_op(ann_lsh_bucket_topk),

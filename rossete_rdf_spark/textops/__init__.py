@@ -16,6 +16,7 @@ from .quality import (  # noqa: F401
     doc_fingerprint,
     lang_id,
     quality_score,
+    tfidf_top_terms,
     token_count,
     train_test_split,
     winnow_fingerprints,

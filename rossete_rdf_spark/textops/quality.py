@@ -122,6 +122,74 @@ def train_test_split(
     )
 
 
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = TFIDF_TOP_K,
+) -> DataFrame:
+    """(doc_id, term, score, rank) — top-k TF-IDF terms per document, the
+    classic keyword/relevance scorer of a training-data pipeline (feature
+    extraction, topic tagging, boilerplate detection).
+
+    tf = term count / doc length (whitespace tokens, lowercased);
+    idf = ln((N + 1) / (df + 1)) with N = corpus size, df = number of docs
+    containing the term. Ranking and the emitted score both use the
+    6-dp-ROUNDED score (ties broken by term asc) so the order is stable
+    across engines — ln() may differ in the last ulp between libm
+    implementations, and an unrounded ORDER BY would let that flip ranks.
+
+    100 TB shape: explode -> two map-side-combinable hash aggs build the
+    (doc, term) count and the per-term df; the corpus size N is a 1-row
+    aggregate broadcast into the plan (never a driver-side collect); the
+    doc-length re-agg and the final window both key on doc_id, so the
+    rank's sort is bounded by a single document's vocabulary, never the
+    corpus. The df join keys on term — a plain shuffle join that AQE
+    broadcasts when the vocabulary is small.
+    """
+    from pyspark.sql.window import Window
+
+    w = words_col(F.lower(F.col(text_col)))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(w).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    doclen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("len"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("cnt") / F.col("len"))
+                * F.log((F.col("n") + 1) / (F.col("df") + 1)),
+                6,
+            ).alias("score"),
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("score").desc(), F.col("term")
+        )
+    )
+    return (
+        scored.withColumn("rank", rank.cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
 # Winnowing (rolling-hash) fingerprints — Schleimer/Wilkerson/Aiken, the
 # MOSS scheme: hash every word-k-gram, slide a w-window over the positional
 # hash sequence, keep the min of each window. Guarantees any shared run of
