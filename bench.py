@@ -257,10 +257,29 @@ def main() -> None:
         # rounded to 0.1s in the compact line; full precision in the
         # [bench-detail] stderr line
         "queries": {k: round(v, 1) for k, v in queries_full.items()},
-        # bracketing (and per-slow-query) calibration probes: a uniformly
-        # slow queries phase is a VM phase when these sit far above the
-        # session's probe floor — in-band evidence, no side files needed
-        "queries_probes": queries_phase["probes"],
+        # bracketing calibration probes: a uniformly slow queries phase is
+        # a VM phase when these sit far above the session's probe floor —
+        # in-band evidence, no side files needed. BOUNDED on purpose: the
+        # per-slow-query probes would add one entry per slow query, and in
+        # a uniform slow phase (exactly when probes matter) that is ~50
+        # extra floats — the same unbounded-final-line growth that made
+        # round 3's driver record unparseable. The full per-query probe
+        # dict ships in the [bench-detail] stderr line; the compact line
+        # carries the bracketing pair plus the worst mid-phase probe.
+        "queries_probes": {
+            k: queries_phase["probes"][k]
+            for k in ("before", "after")
+            if k in queries_phase["probes"]
+        }
+        | (
+            {
+                "max_mid": max(v),
+                "n_mid": len(v),
+            }
+            if (v := [p for k, p in queries_phase["probes"].items()
+                      if k.startswith("after_")])
+            else {}
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -360,6 +379,15 @@ def main() -> None:
             other = [p for c, ps in par_probes.items() if c != cores
                      for p in ps if p is not None]
             ref = min(same) if same else (min(other) if other else None)
+            if ref is None and cores == 1 and fl:
+                # very first rep of the run (lo, rep0): no parallel-probe
+                # history anywhere yet. With ONE copy the parallel probe is
+                # the same workload as the single-thread probe, so the
+                # single-thread floor is a like-for-like reference and the
+                # 2x gate cannot false-trip on a clean rep. (For lo > 1
+                # there is no safe same-workload reference and rep0 keeps
+                # the bracketing-probe tell only.)
+                ref = fl
             return ref is not None and last > 2 * ref
 
         for rep in range(reps):

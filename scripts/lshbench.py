@@ -18,16 +18,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# SAME probe as bench.py (imported, not copied): the whole point of the
+# per-rep probes is that their floors are comparable across this script's
+# artifacts and the BENCH_rNN records, so the definition must be shared.
+from bench import jvm_probe  # noqa: E402
 from rossete_rdf_spark.registry import QUERIES  # noqa: E402
 from rossete_rdf_spark.session import get_spark  # noqa: E402
-
-PROBE_ROWS = 200_000_000
-
-
-def jvm_probe(spark) -> float:
-    t0 = time.time()
-    spark.range(0, PROBE_ROWS, 1, 1).selectExpr("sum(id * 2 + 1)").collect()
-    return round(time.time() - t0, 3)
 
 
 def main() -> None:
