@@ -1,0 +1,268 @@
+"""Entity-graph analytics over the co-mention graph — the beyond-reference
+graph layer of KG construction (the reference stops at triple emission;
+a production KG pipeline then ranks, sparsifies, and measures the entity
+graph it just built).
+
+Graph definition (shared by all three ops): nodes are gazetteer entities
+(kgops.linked_mentions_from — terms in >= MIN_ENTITY_DOCS distinct docs);
+an undirected edge (e1, e2) with weight w = number of documents mentioning
+both. Edge building is a doc_id self-join of the (doc_id, mention) linked
+rows: per-doc fan-out is bounded by the gazetteer (threshold-filtered, so
+corpus-small), and the pair aggregate is a map-side-combinable hash agg on
+the (e1, e2) key. At 10^12 docs the edge table is |gazetteer|^2-bounded —
+a dimension table — while the self-join input is the full mention table,
+which shuffles once on doc_id.
+
+Determinism contract: every floating-point reduction either runs the
+kmeans-proven sorted sequential fold (collect_list -> array_sort ->
+aggregate(0.0, +), bitwise equal to DuckDB's list_reduce(list(x ORDER BY
+k), (a,b) -> a+b)) or is a per-row scalar expression written with the same
+operator shape as the oracle SQL, so the driver's value-hash gate holds.
+Plain sum()/avg() is the documented scale path where noted — the fold is
+the oracle-determinism anchor, exactly like textops/ann._kmeans_centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..kgops import linked_mentions_from
+
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+KNN_K = 6
+
+
+def comention_edges(docs: DataFrame) -> DataFrame:
+    """Canonical undirected co-mention edges: (e1 < e2, w = co-doc count).
+
+    One shuffle on doc_id for the self-join (both sides are the same
+    aggregate — AQE reuses the exchange), one hash agg on the pair key.
+    The e1 < e2 canonicalisation halves the pair space and makes the edge
+    row unique, so downstream ops can symmetrise with an explode instead
+    of a self-union (Catalyst's UnionBase constraint rewrite chokes on
+    self-unions of join-built plans — see graph/cc.py)."""
+    lm = linked_mentions_from(docs).select("doc_id", "mention")
+    a = lm.alias("a")
+    b = lm.alias("b")
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("a.mention") < F.col("b.mention"))
+        .groupBy(
+            F.col("a.mention").alias("e1"), F.col("b.mention").alias("e2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """(src, dst, w) in both directions via explode-of-array (not union)."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("e1").alias("src"),
+                    F.col("e2").alias("dst"),
+                    F.col("w"),
+                ),
+                F.struct(
+                    F.col("e2").alias("src"),
+                    F.col("e1").alias("dst"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("ed")
+    ).select("ed.src", "ed.dst", "ed.w")
+
+
+def entity_pagerank(
+    docs: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
+    """Weighted PageRank over the co-mention graph, fixed iteration count.
+
+    rank_{t+1}(v) = (1-d)/N + d * sum_{u~v} rank_t(u) * w(u,v) / wdeg(u)
+
+    Per-iteration plan: edges JOIN rank-state on src (state is
+    gazetteer-sized -> broadcast), then ONE hash agg keyed by dst. The
+    per-dst reduction is the sorted sequential fold (ORDER BY src) so the
+    trajectory is bitwise reproducible in the DuckDB oracle; plain sum()
+    is the scale path once cross-engine replay is not needed. The edge
+    table is localCheckpointed once so the mention-pipeline DAG is not
+    re-executed every iteration (the pagedup lesson, BENCH.md); on a real
+    cluster this is checkpoint-per-k-iterations exactly like graph/cc.py.
+
+    No dangling mass: the symmetrised graph gives every node wdeg > 0.
+    Output: (entity, wdeg, rank) with rank rounded to 8 dp."""
+    edges = _symmetric(comention_edges(docs)).localCheckpoint(eager=False)
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    n = float(wdeg.count())  # gazetteer-sized scalar, one tiny action
+    state = wdeg.select(
+        F.col("src").alias("entity"), "wdeg", F.lit(1.0 / n).alias("rank")
+    )
+    for _ in range(iters):
+        contribs = edges.join(
+            F.broadcast(
+                state.select(
+                    F.col("entity").alias("src"),
+                    (F.col("rank") / F.col("wdeg")).alias("unit"),
+                )
+            ),
+            "src",
+        ).select(
+            "dst", F.struct(F.col("src"), (F.col("unit") * F.col("w")).alias("c")).alias("sc")
+        )
+        summed = contribs.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("sc")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("s")
+        )
+        state = wdeg.join(
+            summed, wdeg["src"] == summed["dst"]
+        ).select(
+            F.col("src").alias("entity"),
+            "wdeg",
+            (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("s")).alias(
+                "rank"
+            ),
+        )
+    return state.select(
+        "entity", "wdeg", F.round(F.col("rank"), 8).alias("rank")
+    )
+
+
+def entity_knn_edges(docs: DataFrame, k: int = KNN_K) -> DataFrame:
+    """k-NN sparsification of the co-mention graph: keep the union of every
+    node's k strongest edges (w DESC, dst ASC tie-break), undirected-deduped
+    back to canonical (e1 < e2) pairs.
+
+    This is the standard entity-resolution move for a near-complete
+    similarity graph — the dense graph is |gazetteer|^2; the k-NN graph is
+    k*|gazetteer|. The per-src top-k is a row_number window: the partition
+    key is an entity, the partition size its neighbour count (gazetteer-
+    bounded), so the sort is dimension-side cheap — NOT the corpus-side
+    window shape BENCH.md bans."""
+    sym = _symmetric(comention_edges(docs))
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
+    )
+    kept = sym.withColumn("rn", rn).filter(F.col("rn") <= k)
+    return kept.select(
+        F.least("src", "dst").alias("e1"),
+        F.greatest("src", "dst").alias("e2"),
+        "w",
+    ).distinct()
+
+
+def entity_triangles(docs: DataFrame, k: int = KNN_K) -> DataFrame:
+    """Per-entity triangle counts on the k-NN-sparsified co-mention graph —
+    the node-iterator-with-degree-orientation algorithm (orient every edge
+    from the (deg, name)-smaller endpoint to the larger; each triangle is
+    then exactly one wedge u->v, u->w (v before w) closed by v->w).
+
+    Orientation bounds the out-degree of hub nodes by ~sqrt(|E|), which is
+    what keeps the wedge self-join linear-ish at scale; on the k-NN graph
+    out-degree is additionally <= 2k. Three hash joins, all on entity-name
+    keys; the wedge filter is tuple comparison on (deg, name) — integers
+    and strings, no floats anywhere, so no determinism caveats.
+    Output: (entity, n_triangles), entities in >= 1 triangle."""
+    und = entity_knn_edges(docs, k)
+    deg_long = und.select(
+        F.explode(F.array("e1", "e2")).alias("v")
+    ).groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        und.join(deg_long.withColumnRenamed("v", "e1"), "e1")
+        .withColumnRenamed("deg", "d1")
+        .join(
+            deg_long.withColumnRenamed("v", "e2").withColumnRenamed(
+                "deg", "d2"
+            ),
+            "e2",
+        )
+    )
+    lower_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("e1") < F.col("e2"))
+    )
+    oriented = e.select(
+        F.when(lower_first, F.col("e1")).otherwise(F.col("e2")).alias("src"),
+        F.when(lower_first, F.col("e2")).otherwise(F.col("e1")).alias("dst"),
+        F.when(lower_first, F.col("d2")).otherwise(F.col("d1")).alias(
+            "dst_deg"
+        ),
+    )
+    ab = oriented.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("dst_deg").alias("dv"),
+    )
+    ac = oriented.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("x"),
+        F.col("dst_deg").alias("dx"),
+    )
+    wedge_order = (F.col("dv") < F.col("dx")) | (
+        (F.col("dv") == F.col("dx")) & (F.col("v") < F.col("x"))
+    )
+    wedges = ab.join(ac, "u").filter(wedge_order)
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("x")
+    )
+    tri = wedges.join(closing, ["v", "x"]).select("u", "v", "x")
+    return (
+        tri.select(F.explode(F.array("u", "v", "x")).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def comention_pmi(docs: DataFrame) -> DataFrame:
+    """Pointwise mutual information of entity co-mention:
+    pmi(a,b) = ln( w * N / (ca * cb) ), N = corpus doc count, ca = docs
+    mentioning a. The association score KG pipelines use to weight edges
+    before canonicalisation/clustering.
+
+    Shapes: per-entity doc counts are a hash agg of the linked-mention
+    rows; both it and the corpus size join back in as broadcasts (the
+    1-row count via a literal-free cross join, the tfidf idiom). The pmi
+    expression is written with the identical operator order as the oracle
+    (double casts first, one ln, round 6) so libm-vs-DuckDB ulp is the
+    only divergence risk — absorbed by the rounding, the tfidf precedent.
+    Output: (e1, e2, n_ab, pmi) for canonical pairs."""
+    lm = linked_mentions_from(docs).select("doc_id", "mention")
+    edges = comention_edges(docs)
+    ent_docs = lm.groupBy("mention").agg(F.count(F.lit(1)).alias("cnt"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    scored = (
+        edges.join(
+            F.broadcast(
+                ent_docs.select(
+                    F.col("mention").alias("e1"), F.col("cnt").alias("ca")
+                )
+            ),
+            "e1",
+        )
+        .join(
+            F.broadcast(
+                ent_docs.select(
+                    F.col("mention").alias("e2"), F.col("cnt").alias("cb")
+                )
+            ),
+            "e2",
+        )
+        .crossJoin(F.broadcast(n_docs))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("w").cast("double")
+            * F.col("nd")
+            / (F.col("ca").cast("double") * F.col("cb"))
+        ),
+        6,
+    )
+    return scored.select(
+        "e1", "e2", F.col("w").alias("n_ab"), pmi.alias("pmi")
+    )

@@ -8,6 +8,7 @@ embeddings."""
 
 from __future__ import annotations
 
+from .graph.analytics import KNN_K, PAGERANK_DAMPING, PAGERANK_ITERS
 from .kgops import DOC_NS, ENTITY_NS, MIN_ENTITY_DOCS, MIN_MENTION_LEN, ONTO
 from .pipeline.pagedup import MAX_BUCKET as PAGE_MAX_BUCKET
 from .pipeline.pagedup import MIN_BANDS as PAGE_MIN_BANDS
@@ -17,6 +18,7 @@ from .textops.ann import EMB_NEARDUP_THRESHOLD, IVF_NPROBE, KMEANS_ITERS
 from .textops.common import sql_ngrams, sql_words
 from .textops.dedup import (
     BAND_ROWS,
+    INCREMENTAL_BATCH_BUCKET,
     MINHASH_MAX_BUCKET,
     N_HASHES,
     NGRAM_MAX_DF,
@@ -798,4 +800,107 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
   FROM scored)
 SELECT query_id, cand_id, sim, rk::BIGINT AS rk FROM ranked WHERE rk <= 3
+"""
+
+# --- entity-graph analytics (graph/analytics.py) -------------------------------
+# Shared prefix: gazetteer-linked mentions -> canonical weighted co-mention
+# edges, the exact CTE chain kg_entity_link uses plus the doc_id self-join.
+
+_GRAPH_BASE = f"""m AS ({_MENTIONS}),
+gd AS (SELECT mention FROM m GROUP BY 1
+       HAVING count(DISTINCT doc_id) >= {MIN_ENTITY_DOCS}),
+lm AS (SELECT m.doc_id, m.mention FROM m JOIN gd USING (mention)),
+ced AS (SELECT a.mention AS e1, b.mention AS e2, count(*)::BIGINT AS w
+        FROM lm a JOIN lm b USING (doc_id)
+        WHERE a.mention < b.mention GROUP BY 1, 2)"""
+
+# Weighted PageRank, PAGERANK_ITERS unrolled iterations. Determinism anchors
+# mirrored from graph/analytics.entity_pagerank: per-dst contributions fold
+# src-sorted (list(... ORDER BY src) == Spark array_sort(collect_list) +
+# aggregate(0.0, +), the kmeans-proven identity), the contribution is written
+# rank / wdeg * w (same left-to-right shape as Spark's (rank/wdeg) * w), and
+# the damping mix is (1.0 - 0.85) / n -- NOT the literal 0.15/n, because
+# Python's 1.0 - 0.85 is 0.15000000000000002 and the oracle must compute the
+# same double.
+
+
+def _pr_iter(t: int) -> str:
+    return f"""c{t} AS (SELECT s.dst,
+       list_reduce(list(r.rank / r.wdeg * s.w ORDER BY s.src), (a, b) -> a + b) AS sm
+     FROM sym s JOIN r{t - 1} r ON s.src = r.entity GROUP BY s.dst),
+r{t} AS (SELECT w.src AS entity, w.wdeg,
+       (1.0 - {PAGERANK_DAMPING}) / (SELECT n FROM nn) + {PAGERANK_DAMPING} * c.sm AS rank
+     FROM wdeg w JOIN c{t} c ON w.src = c.dst)"""
+
+
+ORACLES["kg_entity_pagerank"] = (
+    f"""WITH {_GRAPH_BASE},
+sym AS (SELECT e1 AS src, e2 AS dst, w FROM ced
+        UNION ALL SELECT e2, e1, w FROM ced),
+wdeg AS (SELECT src, sum(w)::BIGINT AS wdeg FROM sym GROUP BY 1),
+nn AS (SELECT count(*)::DOUBLE AS n FROM wdeg),
+r0 AS (SELECT src AS entity, wdeg, 1.0 / (SELECT n FROM nn) AS rank FROM wdeg),
+"""
+    + ",\n".join(_pr_iter(t) for t in range(1, PAGERANK_ITERS + 1))
+    + f"""
+SELECT entity, wdeg, round(rank, 8) AS rank FROM r{PAGERANK_ITERS}
+"""
+)
+
+# Per-entity triangle counts on the k-NN-sparsified graph -- same knn keep
+# rule (w DESC, dst tie-break, rn <= KNN_K), same canonical dedup, same
+# (deg, name) orientation and wedge ordering as entity_triangles. Integers
+# and strings only.
+ORACLES["kg_entity_triangles"] = f"""
+WITH {_GRAPH_BASE},
+sym AS (SELECT e1 AS src, e2 AS dst, w FROM ced
+        UNION ALL SELECT e2, e1, w FROM ced),
+knn AS (SELECT src, dst, w,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM sym),
+und AS (SELECT DISTINCT least(src, dst) AS e1, greatest(src, dst) AS e2, w
+        FROM knn WHERE rn <= {KNN_K}),
+degl AS (SELECT v, count(*)::BIGINT AS deg
+         FROM (SELECT unnest([e1, e2]) AS v FROM und) GROUP BY 1),
+ej AS (SELECT und.e1, und.e2, d1.deg AS d1, d2.deg AS d2
+       FROM und JOIN degl d1 ON und.e1 = d1.v JOIN degl d2 ON und.e2 = d2.v),
+ori AS (SELECT
+    CASE WHEN d1 < d2 OR (d1 = d2 AND e1 < e2) THEN e1 ELSE e2 END AS src,
+    CASE WHEN d1 < d2 OR (d1 = d2 AND e1 < e2) THEN e2 ELSE e1 END AS dst,
+    CASE WHEN d1 < d2 OR (d1 = d2 AND e1 < e2) THEN d2 ELSE d1 END AS dst_deg
+  FROM ej),
+wg AS (SELECT ab.u, ab.v, ac.x
+       FROM (SELECT src AS u, dst AS v, dst_deg AS dv FROM ori) ab
+       JOIN (SELECT src AS u, dst AS x, dst_deg AS dx FROM ori) ac USING (u)
+       WHERE dv < dx OR (dv = dx AND v < x)),
+tri AS (SELECT u, v, x FROM wg
+        JOIN (SELECT src AS v, dst AS x FROM ori) cl USING (v, x))
+SELECT entity, count(*)::BIGINT AS n_triangles
+FROM (SELECT unnest([u, v, x]) AS entity FROM tri) GROUP BY 1
+"""
+
+# PMI: per-row scalar with the identical operator shape as comention_pmi
+# (double casts first, one ln, round 6) -- ulp risk absorbed by rounding,
+# the tfidf precedent.
+ORACLES["kg_comention_pmi"] = f"""
+WITH {_GRAPH_BASE},
+cd AS (SELECT mention, count(*)::BIGINT AS cnt FROM lm GROUP BY 1),
+nd AS (SELECT count(*)::DOUBLE AS nd FROM documents)
+SELECT e.e1, e.e2, e.w AS n_ab,
+       round(ln(e.w::DOUBLE * (SELECT nd FROM nd)
+                / (a.cnt::DOUBLE * b.cnt)), 6) AS pmi
+FROM ced e JOIN cd a ON e.e1 = a.mention JOIN cd b ON e.e2 = b.mention
+"""
+
+# Incremental dedup: same fingerprint and same split-bucket arithmetic as
+# exact_dedup / doc_train_test_split.
+ORACLES["incremental_exact_dedup"] = f"""
+WITH t AS (SELECT {_FP} AS fingerprint, doc_id,
+                  ('0x' || substr(md5('{SPLIT_SEED}|' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+           FROM documents),
+corpus AS (SELECT DISTINCT fingerprint FROM t WHERE bucket < {INCREMENTAL_BATCH_BUCKET}),
+batch AS (SELECT fingerprint, min(doc_id) AS new_id, count(*)::BIGINT AS batch_dups
+          FROM t WHERE bucket >= {INCREMENTAL_BATCH_BUCKET} GROUP BY 1)
+SELECT b.fingerprint, b.new_id, b.batch_dups
+FROM batch b ANTI JOIN corpus c ON b.fingerprint = c.fingerprint
 """

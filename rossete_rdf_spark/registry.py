@@ -9,6 +9,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import kgops, relops, rmlops
+from .graph.analytics import comention_pmi, entity_pagerank, entity_triangles
 from .oracles import ORACLES
 from .pipeline.multimodal import multimodal_features_query
 from .pipeline.pagedup import page_canonical_exact_query, page_canonical_lsh_query
@@ -26,6 +27,7 @@ from .textops import (
     doc_fingerprint,
     embedding_neardup_pairs,
     exact_dedup,
+    incremental_exact_dedup,
     lang_id,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -57,6 +59,7 @@ def _emb_op(fn) -> QueryFn:
 QUERIES: dict[str, QueryFn] = {
     # training-data ops: dedup family
     "exact_dedup": _docs_op(exact_dedup),
+    "incremental_exact_dedup": _docs_op(incremental_exact_dedup),
     "doc_fingerprint": _docs_op(doc_fingerprint),
     "doc_winnow_fingerprint": _docs_op(winnow_fingerprints),
     "ngram_jaccard_pairs": _docs_op(ngram_jaccard_pairs),
@@ -79,6 +82,10 @@ QUERIES: dict[str, QueryFn] = {
     "kg_mentions": kgops.kg_mentions,
     "kg_entity_link": kgops.kg_entity_link,
     "kg_doc_triples": kgops.kg_doc_triples,
+    # entity-graph analytics over the co-mention graph
+    "kg_entity_pagerank": _docs_op(entity_pagerank),
+    "kg_entity_triangles": _docs_op(entity_triangles),
+    "kg_comention_pmi": _docs_op(comention_pmi),
     # relational / streaming-batch twins
     "rel_first_match_join": relops.rel_first_match_join,
     "rel_runtime_filter_join": relops.rel_runtime_filter_join,

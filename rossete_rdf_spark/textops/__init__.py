@@ -8,6 +8,7 @@ from .ann import (  # noqa: F401
 )
 from .dedup import (  # noqa: F401
     exact_dedup,
+    incremental_exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,

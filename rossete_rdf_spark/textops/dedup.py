@@ -49,6 +49,53 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 # ---------------------------------------------------------------------------
 
+INCREMENTAL_BATCH_BUCKET = 90  # buckets >= this play the newly-arrived batch
+
+
+def incremental_exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Ingest-time dedup of a NEW BATCH against an EXISTING CORPUS — the
+    incremental face of exact_dedup (a crawl pipeline never re-dedups the
+    whole corpus; each arriving batch is checked against what is already
+    stored). Here the batch is simulated deterministically as the docs whose
+    content-stable split bucket (quality.split_bucket, the train/test
+    machinery) is >= INCREMENTAL_BATCH_BUCKET; everything below is corpus.
+
+    Plan: one scan computes (fingerprint, id, bucket); the corpus side
+    collapses to a distinct-fingerprint hash agg, the batch side to a
+    min-id/count hash agg, and a LEFT ANTI join on fingerprint keeps only
+    genuinely-new content. At 100 TB the corpus fingerprint set dominates:
+    the anti join shuffles on a content-derived md5 key (uniform, no skew
+    salting needed) and both sides take map-side partial aggregation; in
+    production the corpus side is a pre-bucketed fingerprint table so only
+    the (small) batch shuffles. Output: one row per new fingerprint —
+    (fingerprint, new_id = lowest batch doc id, batch_dups)."""
+    from .quality import split_bucket
+
+    tagged = docs.select(
+        normalized_fingerprint(F.col(text_col)).alias("fingerprint"),
+        F.col(id_col),
+        split_bucket(F.col(id_col)).alias("__bucket"),
+    )
+    corpus = (
+        tagged.filter(F.col("__bucket") < INCREMENTAL_BATCH_BUCKET)
+        .select("fingerprint")
+        .distinct()
+    )
+    batch = (
+        tagged.filter(F.col("__bucket") >= INCREMENTAL_BATCH_BUCKET)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("new_id"),
+            F.count(F.lit(1)).alias("batch_dups"),
+        )
+    )
+    return batch.join(corpus, "fingerprint", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+
 
 def _doc_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return docs.select(

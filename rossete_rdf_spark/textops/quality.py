@@ -88,6 +88,21 @@ SPLIT_SEED = "split"
 SPLIT_BOUNDS = (80, 90)  # train < 80 <= val < 90 <= test (of 100 buckets)
 
 
+def split_bucket(id_col, seed: str = SPLIT_SEED):
+    """Content-stable 0..99 bucket: pmod of the md5-prefix hash of
+    '{seed}|{id}'. The engine-portable assignment primitive shared by
+    train_test_split and incremental dedup (dedup.incremental_exact_dedup);
+    the DuckDB twin is ('0x'||substr(md5(...),1,15))::BIGINT % 100."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), id_col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(100))
+
+
 def train_test_split(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -103,14 +118,7 @@ def train_test_split(
     engine (the DuckDB oracle reproduces it bit-for-bit via the md5-prefix
     hash). Pure projection: no shuffle, no state, safe to recompute
     anywhere. Change `seed` to draw a fresh independent split."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    bucket = F.pmod(h, F.lit(100))
+    bucket = split_bucket(F.col(id_col), seed)
     lo, hi = bounds
     split = (
         F.when(bucket < lo, "train").when(bucket < hi, "val").otherwise("test")
