@@ -99,6 +99,12 @@ def entity_pagerank(
     edges = _symmetric(comention_edges(docs)).localCheckpoint(eager=False)
     wdeg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
     n = float(wdeg.count())  # gazetteer-sized scalar, one tiny action
+    if n == 0:
+        # empty co-mention graph (no two gazetteer entities share a doc):
+        # return the empty result instead of dividing by zero below
+        return wdeg.select(
+            F.col("src").alias("entity"), "wdeg", F.lit(0.0).alias("rank")
+        )
     state = wdeg.select(
         F.col("src").alias("entity"), "wdeg", F.lit(1.0 / n).alias("rank")
     )

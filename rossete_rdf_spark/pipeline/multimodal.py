@@ -100,8 +100,17 @@ def decode_image(payload: bytes) -> tuple[int, int, float, float, float]:
     BI_RGB) or binary PPM (P6) payload — header fields parsed from the
     bytes, channel means reduced with vectorized numpy. Any other format
     (JPEG magic, PNG magic, audio containers) raises NotImplementedError:
-    compressed codecs need real media libraries, absent in this container."""
+    compressed codecs need real media libraries, absent in this container.
+    Malformed payloads of a SUPPORTED format raise ValueError (truncated
+    data and zero dimensions are data defects, not missing decoders)."""
+    if len(payload) < 2:
+        raise ValueError("malformed payload: empty or shorter than any magic")
     if payload[:2] == b"BM":
+        if len(payload) < _BMP_HEADER_SIZE:
+            raise ValueError(
+                f"malformed BMP: {len(payload)} bytes is shorter than the "
+                f"{_BMP_HEADER_SIZE}-byte header"
+            )
         off = struct.unpack_from("<I", payload, 10)[0]
         w, h = struct.unpack_from("<ii", payload, 18)
         bpp = struct.unpack_from("<H", payload, 28)[0]
@@ -112,6 +121,13 @@ def decode_image(payload: bytes) -> tuple[int, int, float, float, float]:
             )
         h_abs = abs(h)  # negative height = top-down; means are unaffected
         row = _bmp_row_size(w)
+        if w <= 0 or h_abs == 0:
+            raise ValueError(f"malformed BMP: degenerate dimensions {w}x{h}")
+        if off < _BMP_HEADER_SIZE or len(payload) < off + row * h_abs:
+            raise ValueError(
+                f"malformed BMP: header declares {row * h_abs} pixel bytes "
+                f"at offset {off}, payload has {len(payload)}"
+            )
         px = (
             np.frombuffer(payload, np.uint8, count=row * h_abs, offset=off)
             .reshape(h_abs, row)[:, : 3 * w]
@@ -127,6 +143,13 @@ def decode_image(payload: bytes) -> tuple[int, int, float, float, float]:
         w, h, maxval = (int(g) for g in m.groups())
         if maxval != 255:
             raise NotImplementedError("only maxval-255 P6 PPM is supported")
+        if w == 0 or h == 0:
+            raise ValueError(f"malformed PPM: degenerate dimensions {w}x{h}")
+        if len(payload) < m.end() + 3 * w * h:
+            raise ValueError(
+                f"malformed PPM: header declares {3 * w * h} pixel bytes, "
+                f"payload has {len(payload) - m.end()} after the header"
+            )
         px = (
             np.frombuffer(payload, np.uint8, count=3 * w * h, offset=m.end())
             .reshape(-1, 3)
@@ -144,11 +167,24 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (mapInPandas:
     whole-batch control, the shape a real decoder needs for batched
     GPU/SIMD work). One output row per input row; decoding is REAL header
-    parsing + numpy channel statistics (decode_image)."""
+    parsing + numpy channel statistics (decode_image).
+
+    Error contract: a MALFORMED payload of a supported format (truncated
+    header/pixel data, zero dimensions — routine in a crawl) yields NULL
+    feature columns instead of killing the job; an UNSUPPORTED format
+    (decode_image's NotImplementedError) still propagates, because feeding
+    a codec the pipeline has no decoder for is a configuration error, not
+    a data defect."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def safe(b) -> tuple:
+            try:
+                return decode_image(bytes(b or b""))
+            except ValueError:
+                return (None, None, None, None, None)
+
         for pdf in batches:
-            decoded = [decode_image(bytes(b or b"")) for b in pdf["payload"]]
+            decoded = [safe(b) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -156,8 +192,12 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                     "n_bytes": pdf["payload"]
                     .map(lambda b: len(b or b""))
                     .astype("int64"),
-                    "width": pd.Series([d[0] for d in decoded], dtype="int64"),
-                    "height": pd.Series([d[1] for d in decoded], dtype="int64"),
+                    "width": pd.array(
+                        [d[0] for d in decoded], dtype="Int64"
+                    ),
+                    "height": pd.array(
+                        [d[1] for d in decoded], dtype="Int64"
+                    ),
                     "mean_r": [d[2] for d in decoded],
                     "mean_g": [d[3] for d in decoded],
                     "mean_b": [d[4] for d in decoded],

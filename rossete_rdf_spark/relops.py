@@ -95,8 +95,12 @@ def _asof_project(
 ) -> DataFrame:
     """Tolerance filter + final projection shared by both as-of variants."""
     if tolerance_sec is not None:
+        # timestamp-first double cast: TIMESTAMP_NTZ (what parquet loads)
+        # cannot cast straight to BIGINT, and the hop is an identity for
+        # integer ts columns — same idiom as the bucketing expr below
         out = out.filter(
-            F.col("__ts").cast("long") - F.col("__last_r.__rts").cast("long")
+            F.col("__ts").cast("timestamp").cast("long")
+            - F.col("__last_r.__rts").cast("timestamp").cast("long")
             <= tolerance_sec
         )
     return out.select(

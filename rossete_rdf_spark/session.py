@@ -84,6 +84,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: str | int | None = None,
     extra_conf: dict[str, str] | None = None,
+    speculation: bool = True,
 ) -> SparkSession:
     _ensure_driver_memory()
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
@@ -110,15 +111,18 @@ def get_spark(
         .config("spark.memory.fraction", "0.7")
         # Speculative execution: the standard straggler mitigation on a real
         # cluster (a slow/stuck copy of a task gets a duplicate on a healthy
-        # executor; first finisher wins) — and on this sandbox it is ALSO the
-        # direct answer to the VM's measured pathology of single-task stalls
-        # inside otherwise-healthy stages (BENCH.md): the stalled thread's
-        # task gets re-run on a clean core instead of holding the stage. The
-        # quantile is lowered from 0.75 so the 2-task stages our iterative
-        # loops produce can speculate at all (0.75*2 rounds to "both done").
-        .config("spark.speculation", "true")
-        .config("spark.speculation.multiplier", "2")
-        .config("spark.speculation.quantile", "0.5")
+        # executor; first finisher wins) — the cluster-side answer to the
+        # same failure shape as this VM's measured single-task stalls. NOTE
+        # (verified empirically): in local[N] mode Spark never starts the
+        # speculation scheduler (TaskSchedulerImpl guards it with !isLocal),
+        # so this conf is INERT in the sandbox and exists as the default a
+        # cluster deployment should launch with. The quantile is lowered
+        # from 0.75 so 2-task stages can speculate at all. Pass
+        # speculation=False for STATEFUL STREAMING jobs on a real cluster:
+        # a speculative duplicate of a stateful task contends with the
+        # original for the same state-store partition (the known bad
+        # combination for HDFSBackedStateStore); the batch/KG pipelines are
+        # safe because their outputs commit via the task-commit protocol.
         # min_by/collect-style aggregates run on ObjectHashAggregate, which
         # falls back to SORT-based aggregation after only 128 distinct keys
         # per task by default — defeating the whole point of hash-based
@@ -128,6 +132,11 @@ def get_spark(
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
                 str(_object_agg_threshold()))
     )
+    b = b.config("spark.speculation", "true" if speculation else "false")
+    if speculation:
+        b = b.config("spark.speculation.multiplier", "2").config(
+            "spark.speculation.quantile", "0.5"
+        )
     # tmpfs shuffle dirs are a SANDBOX OPT-IN, not a library default: on a
     # real node, spilling into RAM-backed /dev/shm would consume the very
     # memory the spill exists to relieve. Real clusters set SPARK_LOCAL_DIRS

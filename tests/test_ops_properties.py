@@ -196,3 +196,39 @@ def test_salted_top_k_heavy_ties_spread_and_valid(spark):
         for r in salted_top_k_per_group(df, ["g"], "score", 5, n_salts=n_salts).collect()
     )
     assert plain == salted == [2, 2, 2, 2, 2]
+
+
+def test_asof_join_tolerance_on_real_timestamp_columns(spark):
+    """Regression: events.parquet loads ts as TIMESTAMP_NTZ, which cannot
+    cast straight to BIGINT — the tolerance filter must take the
+    timestamp-first double cast on both as-of variants."""
+    from rossete_rdf_spark.relops import asof_join, asof_join_bucketed
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    base = asof_join(left, right, on="user_id", tolerance_sec=3600)
+    bucketed = asof_join_bucketed(
+        left, right, on="user_id", tolerance_sec=3600, bucket_sec=86400
+    )
+    n_base, n_bucketed = base.count(), bucketed.count()
+    assert n_base == n_bucketed
+    # tolerance must actually filter relative to the untolerated join
+    assert n_base < asof_join(left, right, on="user_id").count()
+
+
+def test_entity_pagerank_empty_graph_returns_empty(spark):
+    """Regression: a corpus whose gazetteer yields no co-mention edges must
+    return an empty (entity, wdeg, rank) frame, not ZeroDivisionError."""
+    from rossete_rdf_spark.graph.analytics import entity_pagerank
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    out = entity_pagerank(docs)
+    assert out.columns == ["entity", "wdeg", "rank"]
+    assert out.count() == 0

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from rossete_rdf_spark.pipeline.multimodal import (
+    MEDIA_SCHEMA,
     decode_image,
     extract_media_features,
     synth_image_bytes,
@@ -86,3 +87,33 @@ def test_multimodal_compressed_formats_are_gated():
         decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg")
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\nrest-of-png")
+
+
+def test_multimodal_malformed_payloads_yield_null_features(spark):
+    import pytest
+
+    # malformed payloads of SUPPORTED formats raise ValueError...
+    for bad in (
+        b"BM",  # shorter than the header
+        synth_image_bytes(4, "bmp")[:-5],  # truncated pixel data
+        b"P6\n0 3\n255\n",  # degenerate width
+        b"P6\n4 3\n255\n" + b"\x00" * 5,  # truncated pixel data
+        b"",  # empty
+    ):
+        with pytest.raises(ValueError):
+            decode_image(bad)
+    # ...and the batched extractor turns them into NULL feature rows
+    # instead of killing the job
+    rows = extract_media_features(
+        spark.createDataFrame(
+            [
+                (1, "bmp", synth_image_bytes(1, "ppm"), "{}"),
+                (2, "bmp", synth_image_bytes(4, "bmp")[:-5], "{}"),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+    ).collect()
+    by_id = {r["media_id"]: r for r in rows}
+    assert by_id[1]["width"] is not None
+    assert by_id[2]["width"] is None and by_id[2]["mean_r"] is None
+    assert by_id[2]["n_bytes"] > 0
