@@ -15,7 +15,7 @@ from .pipeline.pagedup import MIN_BANDS as PAGE_MIN_BANDS
 from .pipeline.pagedup import NEAR_DUP_JACCARD as PAGE_NEAR_DUP_JACCARD
 from .relops import RANGE_SLOTS
 from .textops.ann import EMB_NEARDUP_THRESHOLD, IVF_NPROBE, KMEANS_ITERS
-from .textops.common import sql_ngrams, sql_words
+from .textops.common import sql_ngrams, sql_pos_grams, sql_words
 from .textops.dedup import (
     BAND_ROWS,
     INCREMENTAL_BATCH_BUCKET,
@@ -185,6 +185,38 @@ WITH toks AS (
 )
 SELECT doc_id, term, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+# Gopher-style repetition signals. The Spark side is a zero-shuffle per-row
+# fold over SORTED positional gram arrays; the oracle deliberately takes the
+# exploded GROUP BY route — two independent computations of the same counts.
+ORACLES["doc_repetition_score"] = f"""
+WITH g AS (
+  SELECT doc_id, {_WORDS} AS ws,
+         {sql_pos_grams(_WORDS, 2)} AS bg,
+         {sql_pos_grams(_WORDS, 3)} AS tg
+  FROM documents
+), bgc AS (
+  SELECT doc_id, x, count(*) AS c
+  FROM (SELECT doc_id, unnest(bg) AS x FROM g) GROUP BY 1, 2
+), bga AS (
+  SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM bgc GROUP BY 1
+), tgc AS (
+  SELECT doc_id, x, count(*) AS c
+  FROM (SELECT doc_id, unnest(tg) AS x FROM g) GROUP BY 1, 2
+), tga AS (
+  SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc,
+         sum(c) AS tot
+  FROM tgc GROUP BY 1
+)
+SELECT g.doc_id,
+       len(ws)::BIGINT AS n_words,
+       round(CASE WHEN len(ws) > 0
+                  THEN 1.0 - len(list_distinct(ws))::DOUBLE / len(ws)
+                  ELSE 0.0 END, 6) AS dup_word_frac,
+       round(coalesce(bga.topc::DOUBLE / bga.tot, 0.0), 6) AS top_bigram_frac,
+       round(coalesce(tga.dupc::DOUBLE / tga.tot, 0.0), 6) AS dup_trigram_frac
+FROM g LEFT JOIN bga USING (doc_id) LEFT JOIN tga USING (doc_id)
 """
 
 ORACLES["token_count"] = f"""

@@ -32,6 +32,7 @@ from .textops import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     quality_score,
+    repetition_scores,
     simhash,
     tfidf_top_terms,
     token_count,
@@ -69,6 +70,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_count": _docs_op(token_count),
     "lang_id": _docs_op(lang_id),
     "quality_score": _docs_op(quality_score),
+    "doc_repetition_score": _docs_op(repetition_scores),
     "doc_train_test_split": _docs_op(train_test_split),
     "doc_tfidf_top_terms": _docs_op(tfidf_top_terms),
     # similarity search + embedding-tier dedup

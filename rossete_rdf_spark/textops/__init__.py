@@ -17,6 +17,7 @@ from .quality import (  # noqa: F401
     doc_fingerprint,
     lang_id,
     quality_score,
+    repetition_scores,
     tfidf_top_terms,
     token_count,
     train_test_split,

@@ -19,16 +19,29 @@ def words_col(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda w: w != "")
 
 
+def gram_index(w: Column, n: int) -> Column:
+    """1..(len(w)-n+1), or [] when the doc has < n words.
+
+    NOT sequence(1, greatest(len-n+1, 0)): Spark's sequence() DESCENDS when
+    start > stop (sequence(1, 0) = [1, 0]), so the greatest() guard alone
+    still emits indices 0 and 1 for short docs and element_at crashes with
+    INVALID_ARRAY_INDEX. The corpus (all docs >= 10 words) never hits it;
+    any real web crawl would."""
+    m = F.size(w)
+    return F.when(m >= n, F.sequence(F.lit(1), m - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def ngrams_col(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams joined by spaces. Matches sql_ngrams().
 
     Spark arrays are 0-indexed (element_at is 1-indexed); the SQL twin uses
     DuckDB's 1-indexed lists — both emit tokens[i..i+n-1] joined with ' '."""
     w = words_col(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
     return F.array_distinct(
         F.transform(
-            idx,
+            gram_index(w, n),
             lambda i: F.concat_ws(
                 " ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]
             ),
@@ -43,13 +56,16 @@ def sql_words(text_expr: str) -> str:
     return f"list_filter(string_split_regex({text_expr}, '\\s+'), w -> w <> '')"
 
 
-def sql_ngrams(words_expr: str, n: int = 3) -> str:
-    """DuckDB expression: distinct word n-grams over a word-list expression.
+def sql_pos_grams(words_expr: str, n: int = 3) -> str:
+    """DuckDB expression: POSITIONAL word n-grams (duplicates kept) over a
+    word-list expression — the twin of the Spark side's _pos_grams.
 
     range(1, len-n+2) is empty when the doc has < n words, so short docs
     yield [] exactly like the Spark side's greatest(..., 0) guard."""
     join = " || ' ' || ".join(f"({words_expr})[i+{j}]" for j in range(n))
-    return (
-        f"list_distinct([{join} "
-        f"for i in range(1, len({words_expr}) - {n - 2})])"
-    )
+    return f"[{join} for i in range(1, len({words_expr}) - {n - 2})]"
+
+
+def sql_ngrams(words_expr: str, n: int = 3) -> str:
+    """DuckDB expression: distinct word n-grams over a word-list expression."""
+    return f"list_distinct({sql_pos_grams(words_expr, n)})"

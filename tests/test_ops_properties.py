@@ -25,8 +25,14 @@ def test_winnowing_shared_run_guarantee(spark):
 
 
 def test_winnowing_short_doc_yields_nothing(spark):
+    # includes docs shorter than K words and an empty doc: sequence(1, 0)
+    # DESCENDS in Spark, so an unguarded gram index crashes element_at here
     docs = spark.createDataFrame(
-        [(1, " ".join(f"w{i}" for i in range(WINNOW_K + WINNOW_W - 2)))],
+        [
+            (1, " ".join(f"w{i}" for i in range(WINNOW_K + WINNOW_W - 2))),
+            (2, "just two"),
+            (3, ""),
+        ],
         ["doc_id", "text"],
     )
     assert winnow_fingerprints(docs).count() == 0
@@ -232,3 +238,38 @@ def test_entity_pagerank_empty_graph_returns_empty(spark):
     out = entity_pagerank(docs)
     assert out.columns == ["entity", "wdeg", "rank"]
     assert out.count() == 0
+
+
+def test_repetition_scores_hand_computed(spark):
+    """Edge cases the synthetic corpus (all docs >= 10 words) never hits:
+    empty text, 1-2 word docs (no bigrams/trigrams), plus hand-computed
+    fractions for a templated and a fully-repeated doc."""
+    from rossete_rdf_spark.textops.quality import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "a"),
+            (2, "a a"),
+            (3, "a b a b a b"),
+            (4, "x x x"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (
+            r.n_words,
+            r.dup_word_frac,
+            r.top_bigram_frac,
+            r.dup_trigram_frac,
+        )
+        for r in repetition_scores(docs).collect()
+    }
+    assert got[0] == (0, 0.0, 0.0, 0.0)
+    assert got[1] == (1, 0.0, 0.0, 0.0)
+    assert got[2] == (2, 0.5, 1.0, 0.0)
+    # "a b a b a b": 5 bigram positions, "a b" x3 -> 0.6; all 4 trigram
+    # positions are one of two trigrams that each occur twice -> 1.0
+    assert got[3] == (6, 0.666667, 0.6, 1.0)
+    # "x x x": one trigram occurring once -> singleton -> 0.0
+    assert got[4] == (3, 0.666667, 1.0, 0.0)
