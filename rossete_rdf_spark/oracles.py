@@ -26,6 +26,8 @@ from .textops.dedup import (
 )
 from .textops.quality import (
     _WINNOW_SEED,
+    SAMPLE_RATES,
+    SAMPLE_SEED,
     SPLIT_BOUNDS,
     SPLIT_SEED,
     LANG_MARKERS,
@@ -155,6 +157,43 @@ SELECT doc_id, bucket,
             WHEN bucket < {SPLIT_BOUNDS[1]} THEN 'val'
             ELSE 'test' END AS split
 FROM h
+"""
+
+_EN_MARKERS = (
+    "len(regexp_extract_all(lower(text), "
+    f"'\\b({'|'.join(LANG_MARKERS['en'])})\\b'))::BIGINT"
+)
+_SAMPLE_CASE = " ".join(
+    f"WHEN '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items())
+)
+ORACLES["doc_stratified_sample"] = f"""
+WITH b AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5('{SAMPLE_SEED}|' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+           FROM documents)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE lang {_SAMPLE_CASE} ELSE 100 END
+"""
+
+# every float is a ratio of integer sums -> bitwise identical across engines
+ORACLES["doc_source_stats"] = f"""
+WITH per_row AS (
+  SELECT source, lang,
+         len({_WORDS})::BIGINT AS toks,
+         {_EN_MARKERS} AS stops,
+         length(text)::BIGINT AS chars
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(toks)::BIGINT AS n_tokens,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       round(CASE WHEN sum(toks) > 0
+                  THEN sum(stops)::DOUBLE / sum(toks) ELSE 0.0 END, 6)
+         AS stop_ratio,
+       round(CASE WHEN sum(toks) > 0
+                  THEN sum(chars)::DOUBLE / sum(toks) ELSE 0.0 END, 6)
+         AS chars_per_token
+FROM per_row GROUP BY source
 """
 
 # TF-IDF top terms: identical tokenization (lowercased whitespace words),

@@ -34,6 +34,8 @@ from .textops import (
     quality_score,
     repetition_scores,
     simhash,
+    source_stats,
+    stratified_sample,
     tfidf_top_terms,
     token_count,
     train_test_split,
@@ -72,6 +74,8 @@ QUERIES: dict[str, QueryFn] = {
     "quality_score": _docs_op(quality_score),
     "doc_repetition_score": _docs_op(repetition_scores),
     "doc_train_test_split": _docs_op(train_test_split),
+    "doc_stratified_sample": _docs_op(stratified_sample),
+    "doc_source_stats": _docs_op(source_stats),
     "doc_tfidf_top_terms": _docs_op(tfidf_top_terms),
     # similarity search + embedding-tier dedup
     "ann_cosine_topk": _emb_op(ann_cosine_topk),

@@ -18,6 +18,8 @@ from .quality import (  # noqa: F401
     lang_id,
     quality_score,
     repetition_scores,
+    source_stats,
+    stratified_sample,
     tfidf_top_terms,
     token_count,
     train_test_split,

@@ -130,6 +130,99 @@ def train_test_split(
     )
 
 
+# Per-stratum keep rates for stratified sampling, in hundredths (the
+# split_bucket granularity): downsample the over-represented head language,
+# keep the tail. Unlisted strata default to keep-all.
+SAMPLE_RATES: dict[str, int] = {"en": 25, "zh": 50}
+SAMPLE_SEED = "sample"
+
+
+def stratified_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    rates: dict[str, int] = SAMPLE_RATES,
+    seed: str = SAMPLE_SEED,
+) -> DataFrame:
+    """(doc_id, lang, bucket) — deterministic per-stratum downsampling, the
+    data-balancing primitive of a training mix (e.g. downweight the dominant
+    language without touching the tail).
+
+    A row survives iff its content-stable hash bucket (split_bucket: the
+    same md5-prefix arithmetic as the train/val/test split, different seed)
+    falls under the stratum's keep-rate in hundredths. Same reproducibility
+    contract as train_test_split: survivors are a pure function of
+    (seed, id), so the sample is identical under repartitioning, engine
+    migration, and incremental backfill — df.sample()/sampleBy() are none
+    of those. 100 TB shape: projection + filter, zero shuffle; the rate
+    table is a literal CASE expression, not even a broadcast."""
+    bucket = split_bucket(F.col(id_col), seed)
+    rate = F.lit(100)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, r).otherwise(rate)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(stratum_col).alias("lang"),
+            bucket.cast("long").alias("bucket"),
+            rate.alias("_rate"),
+        )
+        .filter(F.col("bucket") < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def source_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(source, n_docs, n_tokens, n_langs, stop_ratio, chars_per_token) —
+    per-source (host/domain) corpus statistics, the "host reputation" rollup
+    a crawl pipeline uses to drop low-quality domains wholesale.
+
+    Every emitted float is a ratio of INTEGER sums (token counts, marker
+    counts, char counts): integer addition is exact and order-independent,
+    so the result is bitwise identical across engines and shuffle orders —
+    no sorted-fold anchor needed, unlike a mean over per-row doubles whose
+    summation order can flip the 6th decimal. 100 TB shape: the per-row
+    token/marker counting is projection-side Column math; the exact
+    countDistinct(lang) makes this Spark's standard two-level distinct-agg
+    plan (partial agg on (source, lang) -> exchange -> final on source,
+    both map-side combinable). At real scale swap in
+    approx_count_distinct to collapse it to ONE exchange — exactness here
+    is the oracle anchor, lang cardinality is tiny either way."""
+    t = F.col(text_col)
+    per_row = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.size(words_col(t)).cast("long").alias("toks"),
+        _marker_count(t, "en").cast("long").alias("stops"),
+        F.length(t).cast("long").alias("chars"),
+    )
+    agg = per_row.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("stops").alias("_stops"),
+        F.sum("chars").alias("_chars"),
+    )
+    tok = F.col("n_tokens")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        F.round(
+            F.when(tok > 0, F.col("_stops") / tok).otherwise(F.lit(0.0)), 6
+        ).alias("stop_ratio"),
+        F.round(
+            F.when(tok > 0, F.col("_chars") / tok).otherwise(F.lit(0.0)), 6
+        ).alias("chars_per_token"),
+    )
+
+
 TFIDF_TOP_K = 3
 
 
