@@ -159,10 +159,12 @@ SELECT doc_id, bucket,
 FROM h
 """
 
-_EN_MARKERS = (
-    "len(regexp_extract_all(lower(text), "
-    f"'\\b({'|'.join(LANG_MARKERS['en'])})\\b'))::BIGINT"
-)
+def _marker_sql(lang: str) -> str:
+    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+_EN_MARKERS = _marker_sql("en") + "::BIGINT"
 _SAMPLE_CASE = " ".join(
     f"WHEN '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items())
 )
@@ -234,7 +236,7 @@ WITH g AS (
   SELECT doc_id, {_WORDS} AS ws,
          {sql_pos_grams(_WORDS, 2)} AS bg,
          {sql_pos_grams(_WORDS, 3)} AS tg
-  FROM documents
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
 ), bgc AS (
   SELECT doc_id, x, count(*) AS c
   FROM (SELECT doc_id, unnest(bg) AS x FROM g) GROUP BY 1, 2
@@ -265,11 +267,6 @@ SELECT doc_id,
        length(text)::BIGINT AS n_chars
 FROM documents
 """
-
-
-def _marker_sql(lang: str) -> str:
-    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
-    return f"len(regexp_extract_all(lower(text), '{pat}'))"
 
 
 _counts = ", ".join(f"{_marker_sql(lang)} AS c_{lang}" for lang in LANG_ORDER)

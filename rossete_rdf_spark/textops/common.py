@@ -33,20 +33,25 @@ def gram_index(w: Column, n: int) -> Column:
     )
 
 
-def ngrams_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams joined by spaces. Matches sql_ngrams().
+def pos_grams(w: Column, n: int) -> Column:
+    """POSITIONAL word n-grams (duplicates kept) joined by spaces, over a
+    word-array column. Matches sql_pos_grams(). The single Spark-side gram
+    builder — ngrams_col and the winnowing gram sequence both derive from
+    it, so an indexing/guard change lands everywhere at once.
 
     Spark arrays are 0-indexed (element_at is 1-indexed); the SQL twin uses
     DuckDB's 1-indexed lists — both emit tokens[i..i+n-1] joined with ' '."""
-    w = words_col(text)
-    return F.array_distinct(
-        F.transform(
-            gram_index(w, n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]
-            ),
-        )
+    return F.transform(
+        gram_index(w, n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]
+        ),
     )
+
+
+def ngrams_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams joined by spaces. Matches sql_ngrams()."""
+    return F.array_distinct(pos_grams(words_col(text), n))
 
 
 # --- SQL (DuckDB oracle) side ----------------------------------------------
@@ -58,10 +63,11 @@ def sql_words(text_expr: str) -> str:
 
 def sql_pos_grams(words_expr: str, n: int = 3) -> str:
     """DuckDB expression: POSITIONAL word n-grams (duplicates kept) over a
-    word-list expression — the twin of the Spark side's _pos_grams.
+    word-list expression — the twin of the Spark side's pos_grams.
 
     range(1, len-n+2) is empty when the doc has < n words, so short docs
-    yield [] exactly like the Spark side's greatest(..., 0) guard."""
+    yield [] exactly like the Spark side's gram_index when/otherwise guard
+    (NOT a greatest() clamp — see gram_index on why that crashes)."""
     join = " || ' ' || ".join(f"({words_expr})[i+{j}]" for j in range(n))
     return f"[{join} for i in range(1, len({words_expr}) - {n - 2})]"
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .common import gram_index, words_col
+from .common import pos_grams, words_col
 from .dedup import normalized_fingerprint
 
 # BPE-ish lexer: words, digit runs, single punctuation marks. Identical
@@ -291,17 +291,6 @@ def tfidf_top_terms(
     )
 
 
-def _pos_grams(w, n: int):
-    """POSITIONAL word n-grams (duplicates kept — unlike ngrams_col, which
-    de-duplicates) as an array column over a word-array column."""
-    return F.transform(
-        gram_index(w, n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
-
-
 def _max_run(sorted_arr):
     """Length of the longest run of equal adjacent elements in a SORTED
     array = the count of the most frequent element. Single fold, no shuffle."""
@@ -360,12 +349,14 @@ def repetition_scores(
     No explode, no groupBy, no shuffle: the alternative exploded
     (doc, gram) hash-agg costs two shuffles over #gram-positions rows;
     this costs zero. The DuckDB oracle intentionally takes the exploded
-    GROUP BY route — two independent computations agreeing is the point."""
-    t = F.col(text_col)
+    GROUP BY route — two independent computations agreeing is the point.
+    NULL text counts as empty on BOTH sides (size(NULL) is -1 in non-ANSI
+    Spark; the oracle coalesces to '' to match)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
     w = words_col(t)
     n = F.size(w)
-    bg = F.array_sort(_pos_grams(w, 2))
-    tg = F.array_sort(_pos_grams(w, 3))
+    bg = F.array_sort(pos_grams(w, 2))
+    tg = F.array_sort(pos_grams(w, 3))
     n_bg = F.size(bg)
     n_tg = F.size(tg)
     dup_word = F.when(
@@ -409,13 +400,9 @@ def winnow_fingerprints(
 
     w = words_col(F.col(text_col))
     n = F.size(w)
-    grams = F.transform(
-        gram_index(w, WINNOW_K),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(WINNOW_K)]
-        ),
+    hashes = F.transform(
+        pos_grams(w, WINNOW_K), lambda g: minhash64(g, _WINNOW_SEED)
     )
-    hashes = F.transform(grams, lambda g: minhash64(g, _WINNOW_SEED))
     # PROJECTION BOUNDARY, not style: common-subexpression elimination does
     # not reach inside higher-order-function lambdas, so referencing the
     # `hashes` expression from the per-window lambda would re-evaluate the

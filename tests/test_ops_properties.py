@@ -253,6 +253,7 @@ def test_repetition_scores_hand_computed(spark):
             (2, "a a"),
             (3, "a b a b a b"),
             (4, "x x x"),
+            (5, None),  # NULL text counts as empty (size(NULL) would be -1)
         ],
         ["doc_id", "text"],
     )
@@ -273,3 +274,4 @@ def test_repetition_scores_hand_computed(spark):
     assert got[3] == (6, 0.666667, 0.6, 1.0)
     # "x x x": one trigram occurring once -> singleton -> 0.0
     assert got[4] == (3, 0.666667, 1.0, 0.0)
+    assert got[5] == (0, 0.0, 0.0, 0.0)
