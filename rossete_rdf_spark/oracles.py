@@ -26,6 +26,8 @@ from .textops.dedup import (
 )
 from .textops.quality import (
     _WINNOW_SEED,
+    CLEAN_MAX_DUP_WORD,
+    CLEAN_MIN_SCORE,
     SAMPLE_RATES,
     SAMPLE_SEED,
     SPLIT_BOUNDS,
@@ -300,6 +302,43 @@ SELECT doc_id, n_tok::BIGINT AS n_tokens,
        round(alpha_ratio, 6) AS alpha_ratio,
        round(0.4 * stop_ratio + 0.4 * alpha_ratio + 0.2 * len_score, 6) AS score
 FROM r
+"""
+
+# composed corpus cleaning: exact-dedup canonical (window-min over the
+# normalized fingerprint) ∩ quality score ∩ dup-word repetition ∩ stratified
+# sample — each fragment is the SAME SQL the standalone oracle uses, mirroring
+# the Spark side's shared expression helpers
+_CWORDS = sql_words("coalesce(text, '')")
+ORACLES["doc_clean_corpus"] = f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         {_FP} AS fp,
+         len({_WORDS}) AS n_tok,
+         {_marker_sql("en")} AS n_stop,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(text) AS n_chars,
+         {_counts},
+         len({_CWORDS}) AS cn,
+         len(list_distinct({_CWORDS})) AS cnd,
+         ('0x' || substr(md5('{SAMPLE_SEED}|' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, bucket, n_tok,
+         CASE WHEN {_best} = 0 THEN 'und' {_case} ELSE 'und' END AS pred_lang,
+         round(0.4 * (CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END)
+             + 0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+             + 0.2 * least(n_tok / 100.0, 1.0), 6) AS score,
+         round(CASE WHEN cn > 0 THEN 1.0 - cnd::DOUBLE / cn ELSE 0.0 END, 6)
+           AS dup_word_frac,
+         min(doc_id) OVER (PARTITION BY fp) AS canon
+  FROM m
+)
+SELECT doc_id, pred_lang, n_tok::BIGINT AS n_tokens, score, dup_word_frac
+FROM r
+WHERE doc_id = canon
+  AND score >= {CLEAN_MIN_SCORE}
+  AND dup_word_frac <= {CLEAN_MAX_DUP_WORD}
+  AND bucket < CASE lang {_SAMPLE_CASE} ELSE 100 END
 """
 
 # --- ANN ----------------------------------------------------------------------

@@ -20,6 +20,7 @@ from .streaming.events import (
 )
 from .textops import (
     ann_cosine_topk,
+    clean_corpus,
     ann_ivf_kmeans_topk,
     ann_ivf_nprobe_topk,
     ann_ivf_topk,
@@ -76,6 +77,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_train_test_split": _docs_op(train_test_split),
     "doc_stratified_sample": _docs_op(stratified_sample),
     "doc_source_stats": _docs_op(source_stats),
+    "doc_clean_corpus": _docs_op(clean_corpus),
     "doc_tfidf_top_terms": _docs_op(tfidf_top_terms),
     # similarity search + embedding-tier dedup
     "ann_cosine_topk": _emb_op(ann_cosine_topk),

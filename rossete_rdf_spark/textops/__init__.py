@@ -14,6 +14,7 @@ from .dedup import (  # noqa: F401
     simhash,
 )
 from .quality import (  # noqa: F401
+    clean_corpus,
     doc_fingerprint,
     lang_id,
     quality_score,

@@ -40,25 +40,30 @@ def _marker_count(text, lang: str):
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, pred_lang) — argmax marker-word count, 'und' when all zero.
-
-    Ties break by LANG_ORDER (first language with the max count), exactly
-    like the oracle's CASE chain."""
-    t = F.col(text_col)
+def _pred_lang_expr(t):
+    """argmax marker-word count, 'und' when all zero; ties break by
+    LANG_ORDER (first language with the max count), exactly like the
+    oracle's CASE chain."""
     counts = {lang: _marker_count(t, lang) for lang in LANG_ORDER}
     best = F.greatest(*counts.values())
     expr = F.lit("und")
     for lang in reversed(LANG_ORDER):
         expr = F.when(counts[lang] == best, lang).otherwise(expr)
-    expr = F.when(best == 0, "und").otherwise(expr)
-    return docs.select(F.col(id_col).alias("doc_id"), expr.alias("pred_lang"))
+    return F.when(best == 0, "und").otherwise(expr)
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, n_tokens, stopword_ratio, alpha_ratio, score) — a
-    length/punct/stopword-ratio quality heuristic, rounded for portability."""
-    t = F.col(text_col)
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang) — marker-word heuristic language ID."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        _pred_lang_expr(F.col(text_col)).alias("pred_lang"),
+    )
+
+
+def _quality_exprs(t):
+    """(n_tok, stop_ratio, alpha_ratio, score) Column expressions — shared
+    by quality_score and clean_corpus so the composed pipeline filters on
+    EXACTLY the standalone op's arithmetic."""
     n_tok = F.size(words_col(t))
     n_stop = _marker_count(t, "en")
     n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
@@ -67,6 +72,13 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     score = 0.4 * stop_ratio + 0.4 * alpha_ratio + 0.2 * len_score
+    return n_tok, stop_ratio, alpha_ratio, score
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, stopword_ratio, alpha_ratio, score) — a
+    length/punct/stopword-ratio quality heuristic, rounded for portability."""
+    n_tok, stop_ratio, alpha_ratio, score = _quality_exprs(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n_tok.cast("long").alias("n_tokens"),
@@ -137,6 +149,14 @@ SAMPLE_RATES: dict[str, int] = {"en": 25, "zh": 50}
 SAMPLE_SEED = "sample"
 
 
+def _rate_expr(stratum_col: str, rates: dict[str, int]):
+    """Keep-rate-in-hundredths CASE expression over a stratum column."""
+    rate = F.lit(100)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, r).otherwise(rate)
+    return rate
+
+
 def stratified_sample(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -157,9 +177,7 @@ def stratified_sample(
     of those. 100 TB shape: projection + filter, zero shuffle; the rate
     table is a literal CASE expression, not even a broadcast."""
     bucket = split_bucket(F.col(id_col), seed)
-    rate = F.lit(100)
-    for stratum, r in sorted(rates.items()):
-        rate = F.when(F.col(stratum_col) == stratum, r).otherwise(rate)
+    rate = _rate_expr(stratum_col, rates)
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -291,6 +309,15 @@ def tfidf_top_terms(
     )
 
 
+def _dup_word_expr(w):
+    """1 - distinct/total over a word-array column (0.0 for empty) — shared
+    by repetition_scores and clean_corpus."""
+    n = F.size(w)
+    return F.when(n > 0, 1.0 - F.size(F.array_distinct(w)) / n).otherwise(
+        F.lit(0.0)
+    )
+
+
 def _max_run(sorted_arr):
     """Length of the longest run of equal adjacent elements in a SORTED
     array = the count of the most frequent element. Single fold, no shuffle."""
@@ -359,9 +386,7 @@ def repetition_scores(
     tg = F.array_sort(pos_grams(w, 3))
     n_bg = F.size(bg)
     n_tg = F.size(tg)
-    dup_word = F.when(
-        n > 0, 1.0 - F.size(F.array_distinct(w)) / n
-    ).otherwise(F.lit(0.0))
+    dup_word = _dup_word_expr(w)
     top_bigram = F.when(n_bg > 0, _max_run(bg) / n_bg).otherwise(F.lit(0.0))
     dup_trigram = F.when(
         n_tg > 0, (n_tg - _singleton_count(tg)) / n_tg
@@ -419,3 +444,61 @@ def winnow_fingerprints(
         F.transform(starts, lambda i: F.array_min(F.slice(hs, i, WINNOW_W)))
     )
     return staged.select("doc_id", F.explode(sel).alias("fp"))
+
+
+# The composed corpus-cleaning thresholds: score >= 0.4 drops the bottom
+# ~12% and dup_word_frac <= 0.65 the most repetitive ~25% of the synthetic
+# corpus — both checked non-degenerate at sf0.001 and sf0.01.
+CLEAN_MIN_SCORE = 0.4
+CLEAN_MAX_DUP_WORD = 0.65
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """(doc_id, pred_lang, n_tokens, score, dup_word_frac) — the END PRODUCT
+    of the training-data pipeline: exact-dedup canonical representatives
+    that pass the quality-score and repetition filters and survive the
+    stratified sample. Every metric is computed by the SAME shared
+    expressions as the standalone ops (_quality_exprs, _dup_word_expr,
+    _pred_lang_expr, split_bucket/_rate_expr, normalized_fingerprint), so
+    this query certifies that the ops COMPOSE, not just that each works.
+
+    100 TB shape: all metrics are per-row projections folded into ONE pass
+    over the scan; canonicalization is a window-min over the fingerprint
+    (one shuffle keyed by fingerprint, no self-join, no second scan — the
+    min-aggregate window needs no ordering beyond the partition sort, and
+    a boilerplate hub fingerprint sorts as one constant-key run). The
+    metric filters sit ABOVE the window by construction — pushing them
+    below would drop dup-group members before the canonical min is taken,
+    changing which doc represents a group (dedup-then-filter, the pipeline
+    order); Catalyst correctly leaves them there."""
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    tc = F.coalesce(t, F.lit(""))
+    n_tok, _, _, score = _quality_exprs(t)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        normalized_fingerprint(t).alias("_fp"),
+        _pred_lang_expr(t).alias("pred_lang"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(score, 6).alias("score"),
+        F.round(_dup_word_expr(words_col(tc)), 6).alias("dup_word_frac"),
+        split_bucket(F.col(id_col), SAMPLE_SEED).alias("_bucket"),
+        _rate_expr(stratum_col, SAMPLE_RATES).alias("_rate"),
+    )
+    canon = F.min("doc_id").over(Window.partitionBy("_fp"))
+    return (
+        base.withColumn("_canon", canon)
+        .filter(
+            (F.col("doc_id") == F.col("_canon"))
+            & (F.col("score") >= CLEAN_MIN_SCORE)
+            & (F.col("dup_word_frac") <= CLEAN_MAX_DUP_WORD)
+            & (F.col("_bucket") < F.col("_rate"))
+        )
+        .select("doc_id", "pred_lang", "n_tokens", "score", "dup_word_frac")
+    )
