@@ -103,15 +103,16 @@ def kg_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kg_doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RML-style (subj, pred, obj) triples for documents:
+def doc_triples_from(docs: DataFrame) -> DataFrame:
+    """RML-style (subj, pred, obj) triples for a documents DataFrame:
     rdf:type, lang + n_chars literals (always-typed, reference semantics),
     source IRI, and one `mentions` edge per linked entity.
 
     The four per-document triples come from ONE metadata scan via
     array+explode (cf. rml/compiler.py single-pass pattern); the mention
-    edges reuse the shared mention aggregate."""
-    docs = _docs(spark, sf_dir)
+    edges reuse the shared mention aggregate. Shared by kg_doc_triples,
+    kg_predicate_stats, kg_bgp_entity_lang, and kg_triples_delta so every
+    triple consumer sees the identical materialisation."""
     subj = F.concat(F.lit(f"<{DOC_NS}"), F.col("doc_id"), F.lit(">"))
     xsd_string = "<http://www.w3.org/2001/XMLSchema#string>"
     xsd_int = "<http://www.w3.org/2001/XMLSchema#integer>"
@@ -160,3 +161,108 @@ def kg_doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return per_doc.unionByName(t_ment)
+
+
+def kg_doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_triples_from(_docs(spark, sf_dir))
+
+
+MENTIONS_PRED = f"<{ONTO}mentions>"
+LANG_PRED = f"<{ONTO}lang>"
+
+
+def kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID-style dataset summary over the materialised triple table:
+    per predicate, the triple count and the distinct subject/object counts.
+
+    The first thing anyone runs against a fresh KG (reference analogue: the
+    triple-count log line after materialisation, src/main.rs stage timers).
+    Plan shape: the two exact count(DISTINCT) plus count(*) compile to ONE
+    Expand(3x)+two-phase hash aggregate keyed by pred — map-side partials
+    absorb the per-predicate fan-in, so a hot predicate (rdf:type is ~1/5 of
+    every real KG) costs a skewed-but-partial-aggregated shuffle rather than
+    a single-reducer sort. At 10^12 triples you'd swap the exact distincts
+    for approx_count_distinct and keep the same single-pass shape."""
+    t = doc_triples_from(_docs(spark, sf_dir))
+    return t.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subjects"),
+        F.countDistinct("obj").alias("n_objects"),
+    )
+
+
+def kg_bgp_entity_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style basic-graph-pattern star join over the triple table:
+
+        ?doc <onto:mentions> ?entity .  ?doc <onto:lang> ?lang
+
+    grouped to (entity, lang, n_docs) — 'which languages talk about which
+    entities', the canonical consumption query of the KG this engine
+    materialises. Executed exactly as a triple store would: two
+    predicate-filtered views of the SAME spo relation equi-joined on subject.
+    Catalyst constant-folds `pred = '<...lang>'` against the mention branch's
+    literal predicate and prunes that union child entirely (the lang side
+    never tokenizes text); in the production layout the triple table is
+    partitioned by predicate, so each pattern is a partition-pruned scan and
+    the subject join co-partitions. Mention edges are distinct per
+    (doc, entity) and lang triples are exactly one per doc, so count(*)
+    counts documents with no distinct needed."""
+    t = doc_triples_from(_docs(spark, sf_dir))
+    m = t.filter(F.col("pred") == MENTIONS_PRED).select(
+        "subj", F.col("obj").alias("entity")
+    )
+    lang = t.filter(F.col("pred") == LANG_PRED).select(
+        "subj", F.col("obj").alias("lang")
+    )
+    return (
+        m.join(lang, "subj")
+        .groupBy("entity", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+DELTA_SEED = "delta"
+DELTA_DROP_BELOW = 10  # "new" snapshot loses buckets < 10 ...
+DELTA_OLD_BELOW = 90  # ... "old" snapshot lacked buckets >= 90
+
+
+def kg_triples_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance: the exact (add/del) triple delta between
+    two corpus snapshots — the op a resumable 10^12-doc pipeline runs per
+    crawl increment instead of re-materialising the world.
+
+    Snapshots are content-stable hash-bucket slices (textops.quality.
+    split_bucket, seed 'delta'): old = buckets [0, 90), new = buckets
+    [10, 100) — 80% overlap, 10% removed, 10% added. The delta is NOT just
+    the changed documents' own triples: the gazetteer threshold
+    (MIN_ENTITY_DOCS) is corpus-wide, so adding/removing docs can flip a
+    term's entity status and add/del `mentions` edges on UNCHANGED documents
+    — which is why the op diffs materialised triple sets rather than doc ids.
+
+    Plan shape: each side's triples are unique by construction (per-doc
+    metadata triples + distinct mention edges), so the diff is ONE
+    map-side-combinable shuffle — union the sides tagged +1/-1, hash-agg on
+    (subj, pred, obj), keep sum != 0 — never a pairwise anti-join per side
+    (two shuffles of the same key) and never a sort."""
+    from .textops.quality import split_bucket
+
+    docs = _docs(spark, sf_dir)
+    bucket = split_bucket(F.col("doc_id"), DELTA_SEED)
+    t_old = doc_triples_from(docs.filter(bucket < DELTA_OLD_BELOW)).withColumn(
+        "_side", F.lit(-1)
+    )
+    t_new = doc_triples_from(docs.filter(bucket >= DELTA_DROP_BELOW)).withColumn(
+        "_side", F.lit(1)
+    )
+    return (
+        t_old.unionByName(t_new)
+        .groupBy("subj", "pred", "obj")
+        .agg(F.sum("_side").alias("_d"))
+        .filter(F.col("_d") != 0)
+        .select(
+            F.when(F.col("_d") > 0, F.lit("add")).otherwise(F.lit("del")).alias("op"),
+            "subj",
+            "pred",
+            "obj",
+        )
+    )

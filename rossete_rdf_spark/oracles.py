@@ -9,15 +9,25 @@ embeddings."""
 from __future__ import annotations
 
 from .graph.analytics import KNN_K, PAGERANK_DAMPING, PAGERANK_ITERS
-from .kgops import DOC_NS, ENTITY_NS, MIN_ENTITY_DOCS, MIN_MENTION_LEN, ONTO
+from .kgops import (
+    DELTA_DROP_BELOW,
+    DELTA_OLD_BELOW,
+    DELTA_SEED,
+    DOC_NS,
+    ENTITY_NS,
+    MIN_ENTITY_DOCS,
+    MIN_MENTION_LEN,
+    ONTO,
+)
 from .pipeline.pagedup import MAX_BUCKET as PAGE_MAX_BUCKET
 from .pipeline.pagedup import MIN_BANDS as PAGE_MIN_BANDS
 from .pipeline.pagedup import NEAR_DUP_JACCARD as PAGE_NEAR_DUP_JACCARD
-from .relops import RANGE_SLOTS
+from .relops import FUNNEL_WINDOW_HOURS, RANGE_SLOTS
 from .textops.ann import EMB_NEARDUP_THRESHOLD, IVF_NPROBE, KMEANS_ITERS
 from .textops.common import sql_ngrams, sql_pos_grams, sql_words
 from .textops.dedup import (
     BAND_ROWS,
+    DECON_NGRAM,
     INCREMENTAL_BATCH_BUCKET,
     MINHASH_MAX_BUCKET,
     N_HASHES,
@@ -404,22 +414,71 @@ SELECT m.doc_id, m.mention, '{ENTITY_NS}' || m.mention AS entity_iri, m.n_occurr
 FROM m JOIN d ON m.mention = d.entity
 """
 
-ORACLES["kg_doc_triples"] = f"""
-WITH m AS ({_MENTIONS}),
-d AS (SELECT mention AS entity FROM m GROUP BY 1
+def _triples_ctes(tag: str, where: str = "TRUE") -> str:
+    """CTE chain defining t_{tag} = the kg_doc_triples relation over
+    `documents` rows satisfying `where` — the single SQL twin of
+    kgops.doc_triples_from, shared by every triple-consuming oracle
+    (kg_doc_triples, kg_predicate_stats, kg_bgp_entity_lang,
+    kg_triples_delta) so the materialisation can't silently diverge
+    between them."""
+    return f"""
+src_{tag} AS (SELECT * FROM documents WHERE {where}),
+m_{tag} AS (
+  SELECT doc_id, mention, count(*)::BIGINT AS n_occurrences
+  FROM (SELECT doc_id, unnest({_WORDS}) AS mention FROM src_{tag})
+  WHERE length(mention) >= {MIN_MENTION_LEN}
+  GROUP BY 1, 2),
+d_{tag} AS (SELECT mention AS entity FROM m_{tag} GROUP BY 1
       HAVING count(DISTINCT doc_id) >= {MIN_ENTITY_DOCS}),
-s AS (SELECT *, '<{DOC_NS}' || doc_id::VARCHAR || '>' AS subj FROM documents)
-SELECT subj, '{RDF_TYPE}' AS pred, '<{ONTO}Document>' AS obj FROM s
+s_{tag} AS (SELECT *, '<{DOC_NS}' || doc_id::VARCHAR || '>' AS subj FROM src_{tag}),
+t_{tag} AS (
+  SELECT subj, '{RDF_TYPE}' AS pred, '<{ONTO}Document>' AS obj FROM s_{tag}
+  UNION ALL
+  SELECT subj, '<{ONTO}lang>', '"' || lang || '"^^{XSD_STRING}' FROM s_{tag}
+  UNION ALL
+  SELECT subj, '<{ONTO}nChars>', '"' || n_chars::VARCHAR || '"^^{XSD_INT}' FROM s_{tag}
+  UNION ALL
+  SELECT subj, '<{ONTO}source>', '<http://kg.example.com/source/' || source || '>' FROM s_{tag}
+  UNION ALL
+  SELECT DISTINCT '<{DOC_NS}' || m_{tag}.doc_id::VARCHAR || '>',
+         '<{ONTO}mentions>', '<{ENTITY_NS}' || m_{tag}.mention || '>'
+  FROM m_{tag} JOIN d_{tag} ON m_{tag}.mention = d_{tag}.entity)
+"""
+
+
+ORACLES["kg_doc_triples"] = f"""
+WITH {_triples_ctes("a")}
+SELECT subj, pred, obj FROM t_a
+"""
+
+ORACLES["kg_predicate_stats"] = f"""
+WITH {_triples_ctes("a")}
+SELECT pred, count(*)::BIGINT AS n_triples,
+       count(DISTINCT subj)::BIGINT AS n_subjects,
+       count(DISTINCT obj)::BIGINT AS n_objects
+FROM t_a GROUP BY 1
+"""
+
+ORACLES["kg_bgp_entity_lang"] = f"""
+WITH {_triples_ctes("a")}
+SELECT m.obj AS entity, l.obj AS lang, count(*)::BIGINT AS n_docs
+FROM t_a m JOIN t_a l ON m.subj = l.subj
+WHERE m.pred = '<{ONTO}mentions>' AND l.pred = '<{ONTO}lang>'
+GROUP BY 1, 2
+"""
+
+_DELTA_BUCKET = (
+    f"('0x' || substr(md5('{DELTA_SEED}|' || doc_id::VARCHAR), 1, 15))::BIGINT % 100"
+)
+
+ORACLES["kg_triples_delta"] = f"""
+WITH {_triples_ctes("old", f"{_DELTA_BUCKET} < {DELTA_OLD_BELOW}")},
+{_triples_ctes("new", f"{_DELTA_BUCKET} >= {DELTA_DROP_BELOW}")}
+SELECT 'add' AS op, subj, pred, obj
+FROM (SELECT subj, pred, obj FROM t_new EXCEPT SELECT subj, pred, obj FROM t_old)
 UNION ALL
-SELECT subj, '<{ONTO}lang>', '"' || lang || '"^^{XSD_STRING}' FROM s
-UNION ALL
-SELECT subj, '<{ONTO}nChars>', '"' || n_chars::VARCHAR || '"^^{XSD_INT}' FROM s
-UNION ALL
-SELECT subj, '<{ONTO}source>', '<http://kg.example.com/source/' || source || '>' FROM s
-UNION ALL
-SELECT DISTINCT '<{DOC_NS}' || m.doc_id::VARCHAR || '>',
-       '<{ONTO}mentions>', '<{ENTITY_NS}' || m.mention || '>'
-FROM m JOIN d ON m.mention = d.entity
+SELECT 'del' AS op, subj, pred, obj
+FROM (SELECT subj, pred, obj FROM t_old EXCEPT SELECT subj, pred, obj FROM t_new)
 """
 
 # --- relational ops -------------------------------------------------------------
@@ -553,6 +612,34 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
+
+ORACLES["events_funnel"] = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY 1, 2),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_view + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY 1)
+SELECT u.user_id,
+       (CASE WHEN t_purchase IS NOT NULL THEN 3
+             WHEN t_click IS NOT NULL THEN 2
+             WHEN t_view IS NOT NULL THEN 1
+             ELSE 0 END)::INT AS funnel_level,
+       strftime(t_view, '%Y-%m-%d %H:%M:%S') AS t_view,
+       strftime(t_click, '%Y-%m-%d %H:%M:%S') AS t_click,
+       strftime(t_purchase, '%Y-%m-%d %H:%M:%S') AS t_purchase
+FROM u LEFT JOIN v USING (user_id)
+       LEFT JOIN (SELECT user_id, t_click FROM c) c2 USING (user_id)
+       LEFT JOIN p USING (user_id)
+"""
+
 
 ORACLES["events_rollup"] = """
 WITH e AS (SELECT event_type, hour(ts) AS hour_of_day, value FROM events)
@@ -1011,3 +1098,21 @@ batch AS (SELECT fingerprint, min(doc_id) AS new_id, count(*)::BIGINT AS batch_d
 SELECT b.fingerprint, b.new_id, b.batch_dups
 FROM batch b ANTI JOIN corpus c ON b.fingerprint = c.fingerprint
 """
+
+ORACLES["doc_decontaminate"] = f"""
+WITH w AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('{SPLIT_SEED}|' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b,
+         {_CWORDS} AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id, b,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+  FROM (SELECT doc_id, b, unnest(list_distinct({sql_pos_grams("ws", DECON_NGRAM)})) AS gram FROM w)),
+ev AS (SELECT DISTINCT gh FROM g WHERE b >= {SPLIT_BOUNDS[1]}),
+tr AS (SELECT doc_id, gh FROM g WHERE b < {SPLIT_BOUNDS[0]})
+SELECT tr.doc_id, count(*)::BIGINT AS n_shared_grams
+FROM tr JOIN ev USING (gh)
+GROUP BY 1
+"""
+

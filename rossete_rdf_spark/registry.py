@@ -21,6 +21,7 @@ from .streaming.events import (
 from .textops import (
     ann_cosine_topk,
     clean_corpus,
+    decontaminate,
     ann_ivf_kmeans_topk,
     ann_ivf_nprobe_topk,
     ann_ivf_topk,
@@ -79,6 +80,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_source_stats": _docs_op(source_stats),
     "doc_clean_corpus": _docs_op(clean_corpus),
     "doc_tfidf_top_terms": _docs_op(tfidf_top_terms),
+    "doc_decontaminate": _docs_op(decontaminate),
     # similarity search + embedding-tier dedup
     "ann_cosine_topk": _emb_op(ann_cosine_topk),
     "ann_lsh_bucket_topk": _emb_op(ann_lsh_bucket_topk),
@@ -90,6 +92,10 @@ QUERIES: dict[str, QueryFn] = {
     "kg_mentions": kgops.kg_mentions,
     "kg_entity_link": kgops.kg_entity_link,
     "kg_doc_triples": kgops.kg_doc_triples,
+    # KG consumption + maintenance over the materialised triple table
+    "kg_predicate_stats": kgops.kg_predicate_stats,
+    "kg_bgp_entity_lang": kgops.kg_bgp_entity_lang,
+    "kg_triples_delta": kgops.kg_triples_delta,
     # entity-graph analytics over the co-mention graph
     "kg_entity_pagerank": _docs_op(entity_pagerank),
     "kg_entity_triangles": _docs_op(entity_triangles),
@@ -102,6 +108,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_asof_join_bucketed": relops.events_asof_join_bucketed,
     "events_range_join": relops.events_range_join,
     "events_moving_avg": relops.events_moving_avg,
+    "events_funnel": relops.events_funnel,
     "events_top_spenders": relops.events_top_spenders,
     "events_top_spenders_salted": relops.events_top_spenders_salted,
     "events_value_quantiles": relops.events_value_quantiles,

@@ -776,3 +776,67 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+FUNNEL_WINDOW_HOURS = 24
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (view -> click -> purchase) per user,
+    ClickHouse-windowFunnel semantics: the earliest view anchors a
+    FUNNEL_WINDOW_HOURS window; the step timestamps are the earliest click
+    STRICTLY after the view and the earliest purchase STRICTLY after that
+    click, both inside the anchored window. Output: one row per user with
+    funnel_level 0-3 and the (second-truncated, cross-engine-stable) step
+    times.
+
+    Shape over 10^12 events: three predicate-filtered conditional-min hash
+    aggregates, each keyed on user_id — partial aggregation collapses a
+    user's events map-side, every join is user_id = user_id so all stages
+    co-partition on one key (AQE reuses the exchange), and nothing sorts.
+    The collect-a-user's-history-and-fold alternative (collect_list +
+    array_sort per user) is deliberately avoided: it is ObjectHashAggregate
+    with per-user O(history) buffers — the shape that falls over on hub
+    users, where conditional min() never does."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + win))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_view") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        users.join(v, "user_id", "left")
+        .join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .when(F.col("t_view").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_level"),
+            F.date_format("t_view", fmt).alias("t_view"),
+            F.date_format("t_click", fmt).alias("t_click"),
+            F.date_format("t_purchase", fmt).alias("t_purchase"),
+        )
+    )

@@ -7,6 +7,7 @@ from .ann import (  # noqa: F401
     embedding_neardup_pairs,
 )
 from .dedup import (  # noqa: F401
+    decontaminate,
     exact_dedup,
     incremental_exact_dedup,
     minhash_lsh_pairs,

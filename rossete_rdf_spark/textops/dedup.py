@@ -301,3 +301,48 @@ def simhash(
         *[F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(SIMHASH_BITS)]
     )
     return summed.select("doc_id", bits.alias("simhash"))
+
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 8  # word n-gram width for train-vs-eval overlap (GPT-3 used 13)
+
+
+def decontaminate(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Training-data decontamination: which TRAIN documents share a word
+    DECON_NGRAM-gram with any EVAL (held-out test split) document, and how
+    many distinct eval grams each shares. Output: (doc_id, n_shared_grams),
+    contaminated train docs only.
+
+    The eval set is the 'test' slice of the content-stable hash split
+    (quality.split_bucket, same seed as doc_train_test_split), so the op
+    composes with the split it is meant to protect. Both sides reduce grams
+    to the md5-prefix BIGINT (the portable 64-bit hash used throughout):
+    at 10^12 docs the benchmark/eval side is a few thousand documents, so
+    its distinct gram-hash set is kilobytes-to-megabytes -> broadcast into a
+    map-side semi join; only contaminated (doc, gram) survivors reach the
+    per-doc count, which is a plain map-side-combinable hash aggregate.
+    NULL text coalesces to '' (zero grams) like the repetition/clean ops."""
+    from .common import pos_grams
+    from .quality import SPLIT_BOUNDS, split_bucket
+
+    w = words_col(F.coalesce(F.col(text_col), F.lit("")))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        split_bucket(F.col(id_col)).alias("_b"),
+        F.explode(F.array_distinct(pos_grams(w, DECON_NGRAM))).alias("gram"),
+    ).select(
+        "doc_id",
+        "_b",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("gh"),
+    )
+    eval_grams = (
+        grams.filter(F.col("_b") >= SPLIT_BOUNDS[1]).select("gh").distinct()
+    )
+    train_grams = grams.filter(F.col("_b") < SPLIT_BOUNDS[0]).select("doc_id", "gh")
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
