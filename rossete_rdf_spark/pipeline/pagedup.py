@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph.cc import connected_components_encoded
-from ..textops.common import ngrams_col
+from ..textops.common import pos_grams, words_col
 from ..textops.dedup import minhash_lsh_pairs, normalized_fingerprint
 
 MAX_BUCKET = 50  # LSH band buckets bigger than this are non-discriminative
@@ -49,8 +49,15 @@ def duplicate_edges(pages_text: DataFrame) -> DataFrame:
     # whatever single task AQE coalesces the tiny pair table into (observed:
     # a 14-minute one-task stage). Everything below is hash-partitioned and
     # linear in #candidate-pair grams.
+    # words staged at a projection boundary before the gram transform: CSE
+    # does not reach inside the pos_grams lambda, so grams built directly
+    # over words_col(text) re-tokenize once per element_at (see
+    # textops/dedup._doc_ngrams — same fix, measured ~5x on the gram stage).
     grams = pages_text.select(
-        "url", F.explode(ngrams_col(F.col("text"))).alias("ng")
+        "url", words_col(F.col("text")).alias("_ws")
+    ).select(
+        "url",
+        F.explode(F.array_distinct(pos_grams(F.col("_ws"), 3))).alias("ng"),
     )
     sizes = grams.groupBy("url").agg(F.count(F.lit(1)).alias("n"))
     # Candidate pairs and the per-page size table are small relative to the

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .common import ngrams_col, words_col
+from .common import pos_grams, words_col
 
 # ---------------------------------------------------------------------------
 
@@ -98,9 +98,18 @@ def incremental_exact_dedup(
 
 
 def _doc_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return docs.select(
+    # words materialized at a projection boundary before the gram transform:
+    # CSE does not reach inside the pos_grams lambda, so grams built directly
+    # over words_col(text) re-tokenize once per element_at (n per gram) — the
+    # same fix as winnow_fingerprints/decontaminate, kept by CollapseProject
+    # because the word array is multiply referenced.
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(ngrams_col(F.col(text_col), n)).alias("ng"),
+        words_col(F.col(text_col)).alias("_ws"),
+    )
+    return staged.select(
+        "doc_id",
+        F.explode(F.array_distinct(pos_grams(F.col("_ws"), n))).alias("ng"),
     )
 
 
@@ -324,14 +333,25 @@ def decontaminate(
     map-side semi join; only contaminated (doc, gram) survivors reach the
     per-doc count, which is a plain map-side-combinable hash aggregate.
     NULL text coalesces to '' (zero grams) like the repetition/clean ops."""
-    from .common import pos_grams
     from .quality import SPLIT_BOUNDS, split_bucket
 
-    w = words_col(F.coalesce(F.col(text_col), F.lit("")))
-    grams = docs.select(
+    # PROJECTION BOUNDARY (same reason as quality.winnow_fingerprints): CSE
+    # does not reach inside the pos_grams transform lambda, so building the
+    # 8-gram directly over words_col(text) re-evaluates split+filter once per
+    # element_at — ~8 x n_grams tokenizations per doc (measured 33s -> 3s at
+    # sf0.1). Materializing the word array as a column makes it one pass;
+    # CollapseProject keeps the boundary because `_ws` is multiply referenced.
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
         split_bucket(F.col(id_col)).alias("_b"),
-        F.explode(F.array_distinct(pos_grams(w, DECON_NGRAM))).alias("gram"),
+        words_col(F.coalesce(F.col(text_col), F.lit(""))).alias("_ws"),
+    )
+    grams = staged.select(
+        "doc_id",
+        "_b",
+        F.explode(F.array_distinct(pos_grams(F.col("_ws"), DECON_NGRAM))).alias(
+            "gram"
+        ),
     ).select(
         "doc_id",
         "_b",

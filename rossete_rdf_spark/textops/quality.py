@@ -380,7 +380,14 @@ def repetition_scores(
     NULL text counts as empty on BOTH sides (size(NULL) is -1 in non-ANSI
     Spark; the oracle coalesces to '' to match)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    w = words_col(t)
+    # PROJECTION BOUNDARY (same as winnow_fingerprints): CSE does not reach
+    # inside the pos_grams lambdas, so building grams over words_col(t)
+    # directly re-tokenizes once per element_at; materialize the word array
+    # first (multiply referenced -> CollapseProject keeps the boundary).
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), words_col(t).alias("_ws")
+    )
+    w = F.col("_ws")
     n = F.size(w)
     bg = F.array_sort(pos_grams(w, 2))
     tg = F.array_sort(pos_grams(w, 3))
@@ -391,8 +398,8 @@ def repetition_scores(
     dup_trigram = F.when(
         n_tg > 0, (n_tg - _singleton_count(tg)) / n_tg
     ).otherwise(F.lit(0.0))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return staged.select(
+        "doc_id",
         n.cast("long").alias("n_words"),
         F.round(dup_word, 6).alias("dup_word_frac"),
         F.round(top_bigram, 6).alias("top_bigram_frac"),
@@ -423,18 +430,23 @@ def winnow_fingerprints(
     yield no fingerprints. Oracle twin: list comprehensions in oracles.py."""
     from .dedup import minhash64
 
-    w = words_col(F.col(text_col))
-    n = F.size(w)
-    hashes = F.transform(
-        pos_grams(w, WINNOW_K), lambda g: minhash64(g, _WINNOW_SEED)
+    # TWO projection boundaries, not style: common-subexpression elimination
+    # does not reach inside higher-order-function lambdas. (1) pos_grams'
+    # lambda does WINNOW_K element_at reads of the word array per gram, so
+    # building grams over words_col(text) directly re-runs split+filter per
+    # read — materialize the words first. (2) referencing the `hashes`
+    # expression from the per-window lambda would re-evaluate the ENTIRE md5
+    # chain once per window — O(m^2) digests per doc (measured: minutes
+    # instead of seconds at sf0.1) — materialize `hs` as a column so it is
+    # one md5 pass per row.
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words_col(F.col(text_col)).alias("_ws"),
     )
-    # PROJECTION BOUNDARY, not style: common-subexpression elimination does
-    # not reach inside higher-order-function lambdas, so referencing the
-    # `hashes` expression from the per-window lambda would re-evaluate the
-    # ENTIRE md5 chain once per window — O(m^2) digests per doc (measured:
-    # minutes instead of seconds at sf0.1). Materializing `hs` as a column
-    # makes it one md5 pass per row.
-    staged = docs.select(F.col(id_col).alias("doc_id"), hashes.alias("hs"))
+    hashes = F.transform(
+        pos_grams(F.col("_ws"), WINNOW_K), lambda g: minhash64(g, _WINNOW_SEED)
+    )
+    staged = words.select("doc_id", hashes.alias("hs"))
     hs = F.col("hs")
     m = F.size(hs)
     starts = F.when(
