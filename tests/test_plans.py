@@ -141,3 +141,57 @@ def test_rml_parquet_scan_is_column_pruned(spark):
     ]
     assert nation_scans
     assert all("n_comment" not in ln for ln in nation_scans)
+
+
+def test_bgp_lang_side_never_tokenizes(spark):
+    # kg_bgp_entity_lang: Catalyst must constant-fold the lang-pattern filter
+    # against the mention branch's literal predicate and prune that union
+    # child — the lang side reads only metadata columns. Tokenization
+    # (split on text) must appear exactly twice in the optimized plan: the
+    # mention aggregate and the gazetteer aggregate on the MENTION side
+    # (AQE-reused at runtime), never a third time under the lang pattern.
+    from rossete_rdf_spark.kgops import kg_bgp_entity_lang
+
+    opt = kg_bgp_entity_lang(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(text") == 2
+
+
+def test_gram_builders_tokenize_once(spark):
+    # PROJECTION-BOUNDARY REGRESSION GUARD: CSE does not reach inside
+    # higher-order-function lambdas, so a gram builder that passes the
+    # words_col(text) expression straight into pos_grams re-runs
+    # split+filter once per element_at — n tokenizations per gram
+    # (measured 5-12x slowdowns at sf0.1). The optimized plan must contain
+    # exactly one split per documents scan.
+    from pyspark.sql import functions as F
+
+    from rossete_rdf_spark.textops.dedup import _doc_ngrams, decontaminate
+    from rossete_rdf_spark.textops.quality import repetition_scores, winnow_fingerprints
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df, scans in [
+        (_doc_ngrams(docs, "doc_id", "text", 3), 1),
+        (winnow_fingerprints(docs), 1),
+        (repetition_scores(docs), 1),
+        (decontaminate(docs), 2),  # eval + train branches scan separately
+    ]:
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("split(") == scans, f"{scans} expected:\n{opt}"
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    from rossete_rdf_spark.textops.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(decontaminate(docs))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_funnel_has_no_object_hash_aggregate(spark):
+    # the conditional-min shape must stay in whole-stage HashAggregate —
+    # never collect_list-per-user (ObjectHashAggregate) or a sort
+    from rossete_rdf_spark.relops import events_funnel
+
+    plan = _plan(events_funnel(spark, SF))
+    assert "ObjectHashAggregate" not in plan
+    assert "collect_list" not in plan
