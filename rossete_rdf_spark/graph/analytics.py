@@ -272,3 +272,58 @@ def comention_pmi(docs: DataFrame) -> DataFrame:
     return scored.select(
         "e1", "e2", F.col("w").alias("n_ab"), pmi.alias("pmi")
     )
+
+
+LP_ITERS = 3
+# LP uses a SPARSER graph than triangles (k=2, not KNN_K=6): the synthetic
+# co-mention graph is near-complete (every gazetteer pair co-occurs), so at
+# k>=3 weighted voting floods everything into one community within 3 rounds
+# (measured: k=6 -> 1 community, k=3 -> 3, k=2 -> 6 at sf0.01). Keeping each
+# node's 2 strongest edges leaves the backbone where community structure is
+# real — the standard mutual-knn trick for near-complete similarity graphs.
+LP_KNN_K = 2
+
+
+def label_propagation(
+    docs: DataFrame, iters: int = LP_ITERS, k: int = LP_KNN_K
+) -> DataFrame:
+    """Community detection on the k-NN-sparsified co-mention graph via
+    SYNCHRONOUS, deterministic label propagation: every node starts labeled
+    with itself; each round, a node adopts the label with the highest
+    weighted neighbour vote (sum of edge weights), ties broken by MINIMUM
+    label. Classic LPA is asynchronous with random tie-breaks — the
+    synchronous fixed-iteration variant is the one a distributed engine can
+    actually run (one superstep per round, Pregel-style) and the one an
+    oracle can replay exactly.
+
+    Per-round plan: edges JOIN label-state on src (state is gazetteer-sized
+    -> broadcast), ONE hash agg on (dst, label) summing INTEGER weights
+    (exact, engine-portable — no float fold needed), then the argmax via a
+    max-score agg joined back with a min-label agg. Edges localCheckpointed
+    once (the pagedup lesson); rounds = LP_ITERS is the contract, not a
+    convergence loop, so the serial depth is fixed and small.
+    Output: (entity, community)."""
+    edges = _symmetric(entity_knn_edges(docs, k)).localCheckpoint(eager=False)
+    state = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    for _ in range(iters):
+        votes = (
+            edges.join(
+                F.broadcast(state.withColumnRenamed("node", "src")), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum("w").alias("s"))
+        )
+        smax = votes.groupBy("node").agg(F.max("s").alias("smax"))
+        v, m = votes.alias("v"), smax.alias("m")
+        state = (
+            v.join(
+                m,
+                (F.col("v.node") == F.col("m.node"))
+                & (F.col("v.s") == F.col("m.smax")),
+            )
+            .groupBy(F.col("v.node").alias("node"))
+            .agg(F.min(F.col("v.label")).alias("label"))
+        )
+    return state.select(F.col("node").alias("entity"), F.col("label").alias("community"))

@@ -8,7 +8,13 @@ embeddings."""
 
 from __future__ import annotations
 
-from .graph.analytics import KNN_K, PAGERANK_DAMPING, PAGERANK_ITERS
+from .graph.analytics import (
+    KNN_K,
+    LP_ITERS,
+    LP_KNN_K,
+    PAGERANK_DAMPING,
+    PAGERANK_ITERS,
+)
 from .kgops import (
     DELTA_DROP_BELOW,
     DELTA_OLD_BELOW,
@@ -640,6 +646,17 @@ FROM u LEFT JOIN v USING (user_id)
        LEFT JOIN p USING (user_id)
 """
 
+ORACLES["events_retention_cohorts"] = """
+WITH first AS (SELECT user_id, min(ts::DATE) AS cohort FROM events GROUP BY 1),
+act AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+       date_diff('day', cohort, d)::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_active
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 
 ORACLES["events_rollup"] = """
 WITH e AS (SELECT event_type, hour(ts) AS hour_of_day, value FROM events)
@@ -1085,6 +1102,40 @@ SELECT e.e1, e.e2, e.w AS n_ab,
                 / (a.cnt::DOUBLE * b.cnt)), 6) AS pmi
 FROM ced e JOIN cd a ON e.e1 = a.mention JOIN cd b ON e.e2 = b.mention
 """
+
+def _lp_round(i: int) -> str:
+    """One synchronous label-propagation round as CTEs: weighted neighbour
+    vote (INTEGER sum), argmax with min-label tie-break — the exact SQL twin
+    of graph/analytics.label_propagation's per-round plan."""
+    return f"""
+n{i} AS (SELECT sym.dst AS node, l{i - 1}.label, sum(sym.w)::BIGINT AS s
+      FROM sym JOIN l{i - 1} ON sym.src = l{i - 1}.node GROUP BY 1, 2),
+x{i} AS (SELECT node, max(s) AS smax FROM n{i} GROUP BY 1),
+l{i} AS (SELECT n{i}.node, min(n{i}.label) AS label
+      FROM n{i} JOIN x{i} ON n{i}.node = x{i}.node AND n{i}.s = x{i}.smax
+      GROUP BY 1)"""
+
+
+_LP_ROUNDS = ",".join(_lp_round(i) for i in range(1, LP_ITERS + 1))
+
+# Synchronous deterministic LPA on the same knn-sparsified graph as the
+# triangle oracle; LP_ITERS unrolled rounds, initial label = node itself.
+ORACLES["kg_label_propagation"] = f"""
+WITH {_GRAPH_BASE},
+symk AS (SELECT e1 AS src, e2 AS dst, w FROM ced
+         UNION ALL SELECT e2, e1, w FROM ced),
+knn AS (SELECT src, dst, w,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM symk),
+und AS (SELECT DISTINCT least(src, dst) AS e1, greatest(src, dst) AS e2, w
+        FROM knn WHERE rn <= {LP_KNN_K}),
+sym AS (SELECT e1 AS src, e2 AS dst, w FROM und
+        UNION ALL SELECT e2, e1, w FROM und),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+{_LP_ROUNDS}
+SELECT node AS entity, label AS community FROM l{LP_ITERS}
+"""
+
 
 # Incremental dedup: same fingerprint and same split-bucket arithmetic as
 # exact_dedup / doc_train_test_split.

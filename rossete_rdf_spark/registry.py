@@ -9,7 +9,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import kgops, relops, rmlops
-from .graph.analytics import comention_pmi, entity_pagerank, entity_triangles
+from .graph.analytics import (
+    comention_pmi,
+    entity_pagerank,
+    entity_triangles,
+    label_propagation,
+)
 from .oracles import ORACLES
 from .pipeline.multimodal import multimodal_features_query
 from .pipeline.pagedup import page_canonical_exact_query, page_canonical_lsh_query
@@ -100,6 +105,7 @@ QUERIES: dict[str, QueryFn] = {
     "kg_entity_pagerank": _docs_op(entity_pagerank),
     "kg_entity_triangles": _docs_op(entity_triangles),
     "kg_comention_pmi": _docs_op(comention_pmi),
+    "kg_label_propagation": _docs_op(label_propagation),
     # relational / streaming-batch twins
     "rel_first_match_join": relops.rel_first_match_join,
     "rel_runtime_filter_join": relops.rel_runtime_filter_join,
@@ -109,6 +115,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_range_join": relops.events_range_join,
     "events_moving_avg": relops.events_moving_avg,
     "events_funnel": relops.events_funnel,
+    "events_retention_cohorts": relops.events_retention_cohorts,
     "events_top_spenders": relops.events_top_spenders,
     "events_top_spenders_salted": relops.events_top_spenders_salted,
     "events_value_quantiles": relops.events_value_quantiles,

@@ -840,3 +840,29 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("t_purchase", fmt).alias("t_purchase"),
         )
     )
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-activity day, counted
+    on each subsequent active day — (cohort_day, day_offset, n_active). The
+    standard product-analytics rollup, at the scale where it matters (one
+    pass over all events, not a per-cohort query loop).
+
+    Shape over 10^12 events: per-user first-day is a min() hash agg on
+    user_id; per-(user, day) activity is a distinct on the SAME key prefix,
+    so the join back is co-partitioned and AQE reuses the exchange; the
+    final (cohort, offset) aggregate is small (days x days). count(*) on the
+    (user, day)-distinct rows IS the distinct-user count — no second
+    count(DISTINCT) pass."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        act.join(first, "user_id")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort").cast("long").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
