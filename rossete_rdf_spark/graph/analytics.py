@@ -327,3 +327,67 @@ def label_propagation(
             .agg(F.min(F.col("v.label")).alias("label"))
         )
     return state.select(F.col("node").alias("entity"), F.col("label").alias("community"))
+
+
+BFS_HOPS = 4
+BFS_LANDMARKS = 2
+_BFS_INF = (1 << 62)
+
+
+def bfs_reachability(
+    docs: DataFrame,
+    hops: int = BFS_HOPS,
+    n_landmarks: int = BFS_LANDMARKS,
+    k: int = LP_KNN_K,
+) -> DataFrame:
+    """Fixed-depth BFS distances from a deterministic landmark set over the
+    k=2-sparsified co-mention graph — the SPARQL property-path / reachability
+    query class (`?x (:related)* ?landmark` bounded to `hops` steps), run
+    Pregel-style: one frontier-expansion superstep per hop. Landmarks are
+    the n lexicographically-smallest entities (deterministic, no RNG).
+
+    Per-superstep plan: state JOIN edges on src (state is gazetteer x
+    landmarks-sized -> broadcast), ONE hash agg taking min(dist + 1) per
+    (node, landmark), then a full-outer merge with the previous state
+    keeping the least distance. NO union: the state/candidate merge is a
+    full-outer join because Catalyst's UnionBase constraint rewrite crashes
+    on self-unions of join-built plans (see graph/cc.py). All values are
+    strings and integers — no float fold, no determinism caveats. The same
+    sparse graph as label_propagation (k=2): on the near-complete k>=3
+    graph everything is at distance 1 and the query is degenerate.
+
+    Output: (entity, landmark, dist) for entities reachable within `hops`.
+    """
+    edges = _symmetric(entity_knn_edges(docs, k)).localCheckpoint(eager=False)
+    nodes = edges.select("src").distinct()
+    landmarks = (
+        nodes.orderBy("src").limit(n_landmarks)
+        .select(F.col("src").alias("landmark"))
+    )
+    state = landmarks.select(
+        F.col("landmark").alias("node"),
+        "landmark",
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for _ in range(hops):
+        cand = (
+            F.broadcast(state.withColumnRenamed("node", "src"))
+            .join(edges, "src")
+            .groupBy(F.col("dst").alias("node"), "landmark")
+            .agg(F.min(F.col("dist") + 1).alias("d_c"))
+        )
+        state = (
+            state.withColumnRenamed("dist", "d_s")
+            .join(cand, ["node", "landmark"], "full_outer")
+            .select(
+                "node",
+                "landmark",
+                F.least(
+                    F.coalesce("d_s", F.lit(_BFS_INF)),
+                    F.coalesce("d_c", F.lit(_BFS_INF)),
+                ).alias("dist"),
+            )
+        )
+    return state.select(
+        F.col("node").alias("entity"), "landmark", "dist"
+    )

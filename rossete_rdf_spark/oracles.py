@@ -9,6 +9,8 @@ embeddings."""
 from __future__ import annotations
 
 from .graph.analytics import (
+    BFS_HOPS,
+    BFS_LANDMARKS,
     KNN_K,
     LP_ITERS,
     LP_KNN_K,
@@ -39,6 +41,8 @@ from .textops.dedup import (
     N_HASHES,
     NGRAM_MAX_DF,
     SIMHASH_BITS,
+    SPAN_POS_PACK,
+    SPAN_WORDS,
 )
 from .textops.quality import (
     _WINNOW_SEED,
@@ -355,6 +359,72 @@ WHERE doc_id = canon
   AND score >= {CLEAN_MIN_SCORE}
   AND dup_word_frac <= {CLEAN_MAX_DUP_WORD}
   AND bucket < CASE lang {_SAMPLE_CASE} ELSE 100 END
+"""
+
+# CCNet-style unigram log-probability quality score: same lowercased
+# tokenization as tfidf; the per-doc reduction is the kmeans-proven
+# term-sorted fold (list(... ORDER BY term) + list_reduce == Spark
+# array_sort(collect_list) + aggregate(0.0, +)); contribution written
+# cnt::DOUBLE * ln(tc::DOUBLE / t::DOUBLE) — the exact operator shape of the
+# Spark side — and the final 6-dp round absorbs cross-libm ln() ulp.
+ORACLES["doc_unigram_logprob"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_LWORDS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1, 2
+), tmc AS (
+  SELECT term, sum(cnt)::BIGINT AS tc FROM tf GROUP BY 1
+), tot AS (
+  SELECT sum(cnt)::BIGINT AS t FROM tf
+), c AS (
+  SELECT tf.doc_id, tf.term, tf.cnt,
+         tf.cnt::DOUBLE * ln(tmc.tc::DOUBLE / tot.t::DOUBLE) AS c
+  FROM tf JOIN tmc USING (term) CROSS JOIN tot
+), g AS (
+  SELECT doc_id,
+         list_reduce(list(c ORDER BY term), (a, b) -> a + b) AS s,
+         sum(cnt)::BIGINT AS toks
+  FROM c GROUP BY 1
+)
+SELECT doc_id, toks, round(s / toks, 6) AS mean_logprob FROM g
+"""
+
+# C4-style duplicated-span removal: non-overlapping SPAN_WORDS-word blocks
+# (1-based inclusive DuckDB list slices == Spark's slice(start, length) with
+# tail truncation), corpus-wide occurrence stats, first occurrence kept via
+# the same doc_id * SPAN_POS_PACK + pos packed argmin, docs reassembled with
+# string_agg(block ORDER BY pos) == Spark's pos-sorted fold. Positions are
+# 0-based on both sides (posexplode / range(0, len)).
+ORACLES["doc_span_dedup"] = f"""
+WITH base AS (
+  SELECT doc_id, {_CWORDS} AS w FROM documents
+), bl AS (
+  SELECT doc_id,
+         [array_to_string(w[(i - 1) * {SPAN_WORDS} + 1 :
+                            least(i * {SPAN_WORDS}, len(w))], ' ')
+          for i in range(1, (len(w) + {SPAN_WORDS - 1}) // {SPAN_WORDS} + 1)]
+           AS blocks
+  FROM base
+), sp AS (
+  SELECT doc_id, unnest(blocks) AS block,
+         unnest(range(0, len(blocks))) AS pos
+  FROM bl
+), st AS (
+  SELECT block, count(*)::BIGINT AS cnt,
+         min(doc_id * {SPAN_POS_PACK} + pos) AS fk
+  FROM sp GROUP BY 1
+), keep AS (
+  SELECT sp.doc_id, sp.pos, sp.block
+  FROM sp JOIN st USING (block)
+  WHERE st.cnt = 1 OR sp.doc_id * {SPAN_POS_PACK} + sp.pos = st.fk
+), agg AS (
+  SELECT doc_id, string_agg(block, ' ' ORDER BY pos) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM keep GROUP BY 1
+)
+SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       (len(b.blocks) - coalesce(a.n_kept, 0))::BIGINT AS n_spans_dropped
+FROM bl b LEFT JOIN agg a USING (doc_id)
 """
 
 # --- ANN ----------------------------------------------------------------------
@@ -1118,11 +1188,10 @@ l{i} AS (SELECT n{i}.node, min(n{i}.label) AS label
 
 _LP_ROUNDS = ",".join(_lp_round(i) for i in range(1, LP_ITERS + 1))
 
-# Synchronous deterministic LPA on the same knn-sparsified graph as the
-# triangle oracle; LP_ITERS unrolled rounds, initial label = node itself.
-ORACLES["kg_label_propagation"] = f"""
-WITH {_GRAPH_BASE},
-symk AS (SELECT e1 AS src, e2 AS dst, w FROM ced
+# Symmetrised k=LP_KNN_K-sparsified co-mention graph (the analytics twin of
+# entity_knn_edges(k=2) + _symmetric) — shared by the label-propagation and
+# BFS-reachability oracles.
+_KNN2_SYM = f"""symk AS (SELECT e1 AS src, e2 AS dst, w FROM ced
          UNION ALL SELECT e2, e1, w FROM ced),
 knn AS (SELECT src, dst, w,
                row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
@@ -1130,10 +1199,47 @@ knn AS (SELECT src, dst, w,
 und AS (SELECT DISTINCT least(src, dst) AS e1, greatest(src, dst) AS e2, w
         FROM knn WHERE rn <= {LP_KNN_K}),
 sym AS (SELECT e1 AS src, e2 AS dst, w FROM und
-        UNION ALL SELECT e2, e1, w FROM und),
+        UNION ALL SELECT e2, e1, w FROM und)"""
+
+# Synchronous deterministic LPA on the same knn-sparsified graph as the
+# triangle oracle; LP_ITERS unrolled rounds, initial label = node itself.
+ORACLES["kg_label_propagation"] = f"""
+WITH {_GRAPH_BASE},
+{_KNN2_SYM},
 l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
 {_LP_ROUNDS}
 SELECT node AS entity, label AS community FROM l{LP_ITERS}
+"""
+
+
+def _bfs_round(i: int) -> str:
+    """One BFS superstep as CTEs: frontier expansion (min(dist+1) per
+    (node, landmark)) full-outer-merged with the previous state keeping the
+    least distance — the exact SQL twin of analytics.bfs_reachability."""
+    return f"""
+c{i} AS (SELECT sym.dst AS node, s.landmark, min(s.dist + 1) AS d_c
+      FROM s{i - 1} s JOIN sym ON s.node = sym.src GROUP BY 1, 2),
+s{i} AS (SELECT coalesce(s.node, c.node) AS node,
+             coalesce(s.landmark, c.landmark) AS landmark,
+             least(coalesce(s.dist, {_ORC_BFS_INF}), coalesce(c.d_c, {_ORC_BFS_INF})) AS dist
+      FROM s{i - 1} s FULL OUTER JOIN c{i} c
+        ON s.node = c.node AND s.landmark = c.landmark)"""
+
+
+_ORC_BFS_INF = 1 << 62
+_BFS_ROUNDS = ",".join(_bfs_round(i) for i in range(1, BFS_HOPS + 1))
+
+# Fixed-depth BFS from the BFS_LANDMARKS lexicographically-smallest entities
+# over the k=2 graph; BFS_HOPS unrolled supersteps, integers/strings only.
+ORACLES["kg_bfs_reachability"] = f"""
+WITH {_GRAPH_BASE},
+{_KNN2_SYM},
+lmk AS (SELECT node AS landmark
+        FROM (SELECT DISTINCT src AS node FROM sym)
+        ORDER BY landmark LIMIT {BFS_LANDMARKS}),
+s0 AS (SELECT landmark AS node, landmark, 0::BIGINT AS dist FROM lmk),
+{_BFS_ROUNDS}
+SELECT node AS entity, landmark, dist FROM s{BFS_HOPS}
 """
 
 

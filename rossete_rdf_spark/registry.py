@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import kgops, relops, rmlops
 from .graph.analytics import (
+    bfs_reachability,
     comention_pmi,
     entity_pagerank,
     entity_triangles,
@@ -42,10 +43,12 @@ from .textops import (
     repetition_scores,
     simhash,
     source_stats,
+    span_dedup,
     stratified_sample,
     tfidf_top_terms,
     token_count,
     train_test_split,
+    unigram_logprob,
     winnow_fingerprints,
 )
 
@@ -75,6 +78,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard_pairs": _docs_op(ngram_jaccard_pairs),
     "minhash_lsh_pairs": _docs_op(minhash_lsh_pairs),
     "simhash": _docs_op(simhash),
+    "doc_span_dedup": _docs_op(span_dedup),
     # text analysis
     "token_count": _docs_op(token_count),
     "lang_id": _docs_op(lang_id),
@@ -85,6 +89,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_source_stats": _docs_op(source_stats),
     "doc_clean_corpus": _docs_op(clean_corpus),
     "doc_tfidf_top_terms": _docs_op(tfidf_top_terms),
+    "doc_unigram_logprob": _docs_op(unigram_logprob),
     "doc_decontaminate": _docs_op(decontaminate),
     # similarity search + embedding-tier dedup
     "ann_cosine_topk": _emb_op(ann_cosine_topk),
@@ -106,6 +111,7 @@ QUERIES: dict[str, QueryFn] = {
     "kg_entity_triangles": _docs_op(entity_triangles),
     "kg_comention_pmi": _docs_op(comention_pmi),
     "kg_label_propagation": _docs_op(label_propagation),
+    "kg_bfs_reachability": _docs_op(bfs_reachability),
     # relational / streaming-batch twins
     "rel_first_match_join": relops.rel_first_match_join,
     "rel_runtime_filter_join": relops.rel_runtime_filter_join,

@@ -13,6 +13,7 @@ from .dedup import (  # noqa: F401
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    span_dedup,
 )
 from .quality import (  # noqa: F401
     clean_corpus,
@@ -25,5 +26,6 @@ from .quality import (  # noqa: F401
     tfidf_top_terms,
     token_count,
     train_test_split,
+    unigram_logprob,
     winnow_fingerprints,
 )

@@ -366,3 +366,79 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+# --- C4-style duplicated-span removal ---------------------------------------
+
+# C4's rule: of any three-sentence span occurring more than once in the
+# corpus, keep the FIRST occurrence and cut the rest from their documents.
+# This corpus has no sentence delimiters, so the span unit is a fixed
+# SPAN_WORDS-word non-overlapping block (the last block of a doc may be
+# shorter). "First occurrence" = minimum (doc_id, pos), bit-packed as
+# doc_id * SPAN_POS_PACK + pos so the argmin stays a primitive min() in
+# whole-stage HashAggregate (the min_by-declarative-aggregate lesson:
+# struct buffers fall to SortAggregate).
+SPAN_WORDS = 3
+SPAN_POS_PACK = 1 << 20  # pos < 1M blocks/doc; ~3M-word docs — far above any
+# web page; a corpus with longer docs raises the pack width with the id range
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SPAN_WORDS,
+) -> DataFrame:
+    """(doc_id, clean_text, n_spans_dropped) — cross-corpus duplicated-span
+    removal: every n-word block that appears anywhere else in the corpus is
+    cut except its first occurrence, and each document is reassembled from
+    its surviving blocks in order.
+
+    100 TB shape: blocks are built per-row in codegen (staged word array ->
+    slice/concat_ws -> posexplode, zero shuffle); the occurrence stats are
+    ONE map-side-combinable hash agg keyed by the block string (content-
+    derived -> uniform, no salt); the stats join back keys on the same
+    block column so AQE reuses the exchange; reassembly is one hash agg on
+    doc_id with a pos-sorted fold (bounded by a single document's length).
+    A boilerplate block repeated billions of times is ONE stats row, and
+    its group in the stats agg is map-side-combined — the skew lives in the
+    pre-agg explode, which is embarrassingly parallel."""
+    wc = words_col(F.coalesce(F.col(text_col), F.lit("")))
+    staged = docs.select(F.col(id_col).alias("doc_id"), wc.alias("_w"))
+    m = F.size("_w")
+    n_blocks = F.ceil(m / F.lit(n)).cast("int")
+    blocks_arr = F.when(m > 0, F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.concat_ws(" ", F.slice("_w", i * n + 1, n)),
+    )).otherwise(F.array().cast("array<string>"))
+    per_doc = staged.select("doc_id", blocks_arr.alias("_blocks"))
+    spans = per_doc.select(
+        "doc_id", F.posexplode("_blocks").alias("pos", "block")
+    )
+    stats = spans.groupBy("block").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.col("doc_id") * SPAN_POS_PACK + F.col("pos")).alias("fk"),
+    )
+    kept = spans.join(stats, "block").filter(
+        (F.col("cnt") == 1)
+        | (F.col("doc_id") * SPAN_POS_PACK + F.col("pos") == F.col("fk"))
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "block"))),
+                lambda x: x["block"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        per_doc.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.size("_blocks") - F.coalesce("n_kept", F.lit(0))).cast("long")
+            .alias("n_spans_dropped"),
+        )
+    )

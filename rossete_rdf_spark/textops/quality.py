@@ -514,3 +514,59 @@ def clean_corpus(
         )
         .select("doc_id", "pred_lang", "n_tokens", "score", "dup_word_frac")
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, toks, mean_logprob) — per-document mean unigram log-probability
+    under the corpus's own unigram model, the CCNet-style language-model
+    quality filter (docs far below the corpus's typical logprob are
+    boilerplate/gibberish; far above are repetitive). mean_logprob =
+    sum over tokens of ln(count(term)/total_tokens) / doc length, over
+    lowercased whitespace tokens (same tokenization as doc_tfidf_top_terms).
+
+    100 TB shape: explode -> (doc, term) hash agg (map-side combinable);
+    the unigram model is a second hash agg on term; total_tokens is a 1-row
+    aggregate broadcast into the plan (no driver collect); the model join
+    keys on term (AQE broadcasts a small vocabulary). Determinism anchor:
+    the per-doc reduction is the kmeans-proven sorted sequential fold
+    (collect_list -> array_sort by term -> aggregate(0.0, +)) so the oracle
+    replays it bitwise; plain sum() is the documented scale path. The final
+    6-dp round absorbs cross-libm ln() ulp (the tfidf/pmi precedent)."""
+    w = words_col(F.lower(F.col(text_col)))
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(w).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    termcnt = tf.groupBy("term").agg(F.sum("cnt").alias("tc"))
+    total = tf.agg(F.sum("cnt").alias("t"))
+    contrib = (
+        tf.join(termcnt, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "cnt",
+            F.struct(
+                F.col("term"),
+                (
+                    F.col("cnt").cast("double")
+                    * F.log(F.col("tc").cast("double") / F.col("t").cast("double"))
+                ).alias("c"),
+            ).alias("sc"),
+        )
+    )
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("sc")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("s"),
+        F.sum("cnt").alias("toks"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "toks",
+        F.round(F.col("s") / F.col("toks"), 6).alias("mean_logprob"),
+    )
