@@ -266,3 +266,80 @@ def kg_triples_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "obj",
         )
     )
+
+
+# SPARQL algebra over the materialised triple table: OPTIONAL (left outer
+# join), FILTER NOT EXISTS (anti join), DESCRIBE (semi join). Entity IRIs are
+# fixed gazetteer members at every SF (core vocabulary words appear in >=
+# MIN_ENTITY_DOCS docs at all scales).
+ENT_SPARK = f"<{ENTITY_NS}spark>"
+ENT_STREAM = f"<{ENTITY_NS}stream>"
+ENT_TABLE = f"<{ENTITY_NS}table>"
+UNBOUND = "<urn:unbound>"
+
+
+def kg_optional_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL over the triple table:
+
+        ?doc <onto:lang> ?lang .
+        OPTIONAL { ?doc <onto:mentions> ?e .
+                   FILTER(?e IN (ent:spark, ent:stream)) }
+
+    compiled the way a SPARQL engine lowers OPTIONAL: a left outer join
+    between two predicate-filtered views of the SAME spo relation, keyed on
+    the shared subject variable. Left-join multiplicity is the SPARQL
+    semantics (a doc matching both entities yields two rows; an unmatched
+    doc yields one row with the variable unbound). Unbound is emitted as a
+    '<urn:unbound>' sentinel, not NULL — NULL join keys poison downstream
+    comparisons and hash-partitioning (same policy as events_rollup).
+
+    At production layout (triple table partitioned by pred) each pattern is
+    a partition-pruned scan; the join shuffles on subj, and AQE broadcasts
+    the optional side when the entity filter makes it small — which a
+    2-constant IN does, but a hub entity would not, so no broadcast is
+    hard-coded."""
+    t = doc_triples_from(_docs(spark, sf_dir))
+    lang = t.filter(F.col("pred") == LANG_PRED).select("subj", F.col("obj").alias("lang"))
+    opt = t.filter(
+        (F.col("pred") == MENTIONS_PRED) & F.col("obj").isin(ENT_SPARK, ENT_STREAM)
+    ).select("subj", F.col("obj").alias("entity"))
+    return lang.join(opt, "subj", "left").select(
+        "subj", "lang", F.coalesce("entity", F.lit(UNBOUND)).alias("entity")
+    )
+
+
+def kg_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER NOT EXISTS:
+
+        ?doc <onto:mentions> ent:table .
+        FILTER NOT EXISTS { ?doc <onto:mentions> ent:stream }
+
+    i.e. docs that discuss tables but never streams — negation lowered to a
+    LEFT ANTI join (Spark's set-oriented NOT EXISTS: one shuffle on subj, no
+    per-row subquery), then the lang triple joined for the projection. Anti
+    joins keep only the probe side's columns, so the shape is
+    anti-first-then-enrich: the anti join shrinks the row set before the
+    enrichment join touches it."""
+    t = doc_triples_from(_docs(spark, sf_dir))
+    pos = t.filter((F.col("pred") == MENTIONS_PRED) & (F.col("obj") == ENT_TABLE)).select("subj")
+    neg = t.filter((F.col("pred") == MENTIONS_PRED) & (F.col("obj") == ENT_STREAM)).select("subj")
+    lang = t.filter(F.col("pred") == LANG_PRED).select("subj", F.col("obj").alias("lang"))
+    return pos.join(neg, "subj", "left_anti").join(lang, "subj").select("subj", "lang")
+
+
+def kg_describe_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE ent:spark (concise-bounded-description flavor): every
+    triple of every document that mentions the seed entity — the seed's
+    1-hop neighborhood through its incoming `mentions` edges.
+
+    Lowered to a LEFT SEMI join of the triple table against the seed's
+    subject set: semi joins deduplicate the build side by construction (no
+    distinct pre-job) and shuffle on subj, which in the production
+    subj-partitioned layout is co-partitioned and shuffle-free. The seed set
+    is corpus-size-dependent (a hub entity's CBD is large), so no broadcast
+    is hard-coded — AQE downgrades to broadcast when the seed set is small."""
+    t = doc_triples_from(_docs(spark, sf_dir))
+    seeds = t.filter(
+        (F.col("pred") == MENTIONS_PRED) & (F.col("obj") == ENT_SPARK)
+    ).select("subj")
+    return t.join(seeds, "subj", "semi").select("subj", "pred", "obj")

@@ -27,12 +27,15 @@ from .kgops import (
     MIN_MENTION_LEN,
     ONTO,
 )
+from .kgops import UNBOUND as KG_UNBOUND
 from .pipeline.pagedup import MAX_BUCKET as PAGE_MAX_BUCKET
 from .pipeline.pagedup import MIN_BANDS as PAGE_MIN_BANDS
 from .pipeline.pagedup import NEAR_DUP_JACCARD as PAGE_NEAR_DUP_JACCARD
 from .relops import FUNNEL_WINDOW_HOURS, RANGE_SLOTS
+from .relops import Z_THRESHOLD as REL_Z_THRESHOLD
 from .textops.ann import EMB_NEARDUP_THRESHOLD, IVF_NPROBE, KMEANS_ITERS
 from .textops.common import sql_ngrams, sql_pos_grams, sql_words
+from .textops.webclean import EMAIL_RE, PHONE_RE, TRACKING_PARAM_RE
 from .textops.dedup import (
     BAND_ROWS,
     DECON_NGRAM,
@@ -1273,3 +1276,108 @@ FROM tr JOIN ev USING (gh)
 GROUP BY 1
 """
 
+
+# --- web-corpus cleaning (textops/webclean.py) ----------------------------------
+
+# Replays synthetic_url + normalize_url verbatim. DuckDB's `//` is integer
+# division = Spark's (x/7).cast(long) truncation for non-negative ids.
+_DIRTY_URL = """
+  'HTTP://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END || source ||
+  '.Example.COM:80/' || lang || '/page-' || (doc_id // 7)::VARCHAR ||
+  CASE WHEN doc_id % 2 = 0
+       THEN '?utm_source=feed&utm_campaign=x&id=' || (doc_id % 5)::VARCHAR
+       ELSE '?id=' || (doc_id % 5)::VARCHAR END ||
+  CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END
+"""
+
+ORACLES["doc_url_dedup"] = f"""
+WITH u AS (SELECT doc_id, {_DIRTY_URL} AS url FROM documents),
+p AS (
+  SELECT doc_id,
+         regexp_replace(url, '#.*', '') AS base,
+         regexp_extract(regexp_replace(url, '#.*', ''), '^([^/?]*://[^/?#]*)', 1) AS head0
+  FROM u),
+n AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(head0), ':80$', ''), '://www[.]', '://') AS head,
+         substr(base, length(head0) + 1) AS tail
+  FROM p),
+q AS (
+  SELECT doc_id, head,
+         regexp_replace(regexp_extract(tail, '^([^?]*)', 1), '/$', '') AS path,
+         array_to_string(list_sort(list_filter(
+           string_split(regexp_extract(tail, '[?](.*)', 1), '&'),
+           x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}'))), '&') AS qs
+  FROM n),
+c AS (
+  SELECT doc_id,
+         head || path || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+  FROM q)
+SELECT canonical_url, min(doc_id)::BIGINT AS first_doc_id, count(*)::BIGINT AS n_docs
+FROM c GROUP BY 1
+"""
+
+ORACLES["doc_pii_redact"] = f"""
+WITH p AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || doc_id::VARCHAR || '@example.com for details'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' or call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+            ELSE '' END AS pii
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(pii, '{EMAIL_RE}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(pii, '{PHONE_RE}'))::BIGINT AS n_phones,
+  regexp_replace(regexp_replace(pii, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM p
+"""
+
+# --- SPARQL algebra over the triple table (kgops.py) ----------------------------
+
+ORACLES["kg_optional_mentions"] = f"""
+WITH {_triples_ctes("a")}
+SELECT l.subj, l.obj AS lang, coalesce(m.obj, '{KG_UNBOUND}') AS entity
+FROM t_a l LEFT JOIN (
+  SELECT subj, obj FROM t_a
+  WHERE pred = '<{ONTO}mentions>'
+    AND obj IN ('<{ENTITY_NS}spark>', '<{ENTITY_NS}stream>')) m
+ON l.subj = m.subj
+WHERE l.pred = '<{ONTO}lang>'
+"""
+
+ORACLES["kg_not_exists"] = f"""
+WITH {_triples_ctes("a")}
+SELECT p.subj, l.obj AS lang
+FROM t_a p JOIN t_a l ON p.subj = l.subj AND l.pred = '<{ONTO}lang>'
+WHERE p.pred = '<{ONTO}mentions>' AND p.obj = '<{ENTITY_NS}table>'
+  AND NOT EXISTS (SELECT 1 FROM t_a n
+                  WHERE n.subj = p.subj AND n.pred = '<{ONTO}mentions>'
+                    AND n.obj = '<{ENTITY_NS}stream>')
+"""
+
+ORACLES["kg_describe_entity"] = f"""
+WITH {_triples_ctes("a")}
+SELECT subj, pred, obj FROM t_a
+WHERE subj IN (SELECT subj FROM t_a
+               WHERE pred = '<{ONTO}mentions>' AND obj = '<{ENTITY_NS}spark>')
+"""
+
+# --- events anomaly -------------------------------------------------------------
+
+# floor() before the BIGINT cast: DuckDB's double->BIGINT cast ROUNDS while
+# Spark's truncates (the epoch() gotcha); floor makes both exact.
+ORACLES["events_anomaly_zscore"] = f"""
+WITH e AS (SELECT event_id, event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+st AS (SELECT event_type, count(*)::DOUBLE AS n, sum(cents)::DOUBLE AS s,
+              sum(cents * cents)::DOUBLE AS ss
+       FROM e GROUP BY 1),
+z AS (SELECT event_id, e.event_type,
+             (cents - s / n) / sqrt((ss - s * s / n) / n) AS z
+      FROM e JOIN st ON e.event_type = st.event_type)
+SELECT event_id, event_type, round(z, 3) AS zscore FROM z WHERE abs(z) >= {REL_Z_THRESHOLD}
+"""

@@ -38,6 +38,8 @@ from .textops import (
     incremental_exact_dedup,
     lang_id,
     minhash_lsh_pairs,
+    pii_redact,
+    url_dedup,
     ngram_jaccard_pairs,
     quality_score,
     repetition_scores,
@@ -91,6 +93,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_tfidf_top_terms": _docs_op(tfidf_top_terms),
     "doc_unigram_logprob": _docs_op(unigram_logprob),
     "doc_decontaminate": _docs_op(decontaminate),
+    # web-corpus cleaning (URL canonicalization + PII scrub)
+    "doc_url_dedup": _docs_op(url_dedup),
+    "doc_pii_redact": _docs_op(pii_redact),
     # similarity search + embedding-tier dedup
     "ann_cosine_topk": _emb_op(ann_cosine_topk),
     "ann_lsh_bucket_topk": _emb_op(ann_lsh_bucket_topk),
@@ -106,6 +111,10 @@ QUERIES: dict[str, QueryFn] = {
     "kg_predicate_stats": kgops.kg_predicate_stats,
     "kg_bgp_entity_lang": kgops.kg_bgp_entity_lang,
     "kg_triples_delta": kgops.kg_triples_delta,
+    # SPARQL algebra over the triple table (OPTIONAL / NOT EXISTS / DESCRIBE)
+    "kg_optional_mentions": kgops.kg_optional_mentions,
+    "kg_not_exists": kgops.kg_not_exists,
+    "kg_describe_entity": kgops.kg_describe_entity,
     # entity-graph analytics over the co-mention graph
     "kg_entity_pagerank": _docs_op(entity_pagerank),
     "kg_entity_triangles": _docs_op(entity_triangles),
@@ -125,6 +134,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_top_spenders": relops.events_top_spenders,
     "events_top_spenders_salted": relops.events_top_spenders_salted,
     "events_value_quantiles": relops.events_value_quantiles,
+    "events_anomaly_zscore": relops.events_anomaly_zscore,
     "mention_counts_salted": relops.mention_counts_salted,
     "events_rollup": relops.events_rollup,
     "events_pivot": relops.events_pivot,

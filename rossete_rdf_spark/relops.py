@@ -661,6 +661,47 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Z_THRESHOLD = 3.0
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, event_type, zscore) — per-type z-score outliers, the
+    standard metric-anomaly sweep over an event stream.
+
+    Cross-engine float determinism is engineered, not hoped for: values are
+    quantized to integer cents ONCE (truncation of value*100 + 0.5 — no
+    rounding-rule dependence), so the per-type moments are sums of exact
+    integers; mean and variance are then a fixed chain of IEEE double ops
+    ((ss - s*s/n)/n, written identically in the oracle), which both engines
+    evaluate bit-identically regardless of row order. sum(cents^2) stays
+    within int64 up to ~10^9 rows at this value range; beyond that the same
+    shape runs on DECIMAL(38,0) partials.
+
+    Plan: ONE map-side-combinable hash aggregate for the 5-row stats table,
+    broadcast back onto the scan — the second pass is a broadcast hash join
+    fused into codegen, so at 100 TB the op costs one shuffle of partial
+    aggregates plus one full scan, never a window sort over the corpus."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "cents", (F.col("value") * 100 + 0.5).cast("long")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("cents").cast("double").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("double").alias("ss"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        (
+            (F.col("cents") - F.col("s") / F.col("n"))
+            / F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n"))
+        ).alias("z"),
+    )
+    return joined.filter(F.abs(F.col("z")) >= Z_THRESHOLD).select(
+        "event_id", "event_type", F.round("z", 3).alias("zscore")
+    )
+
+
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals in ONE pass: ROLLUP(event_type, hour_of_day)
     computes per-(type, hour), per-type, and grand totals without

@@ -15,6 +15,10 @@ from .dedup import (  # noqa: F401
     simhash,
     span_dedup,
 )
+from .webclean import (  # noqa: F401
+    pii_redact,
+    url_dedup,
+)
 from .quality import (  # noqa: F401
     clean_corpus,
     doc_fingerprint,

@@ -195,3 +195,56 @@ def test_funnel_has_no_object_hash_aggregate(spark):
     plan = _plan(events_funnel(spark, SF))
     assert "ObjectHashAggregate" not in plan
     assert "collect_list" not in plan
+
+
+def test_pii_redact_is_pure_projection(spark):
+    # regex scrub must fuse into the scan stage: zero exchanges, no Python
+    from rossete_rdf_spark.textops.webclean import pii_redact
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pii_redact(docs))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_url_dedup_single_hash_agg_shuffle(spark):
+    # canonicalization fuses into the scan; the dedup is ONE hashpartitioning
+    # exchange with map-side partial aggregation, never a sort
+    from rossete_rdf_spark.textops.webclean import url_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(url_dedup(docs))
+    tree = plan.split("(1) Scan")[0]  # formatted-mode tree section
+    n_shuffles = sum(
+        1 for ln in tree.splitlines()
+        if "Exchange (" in ln and "BroadcastExchange" not in ln
+    )
+    assert n_shuffles == 1, tree
+    assert "SortAggregate" not in plan
+    assert tree.count("HashAggregate (") == 2  # partial + final
+
+
+def test_anomaly_zscore_broadcasts_stats(spark):
+    # the 5-row per-type stats table must come back as a broadcast hash join
+    # (one shuffle total), not a second shuffle of the full event scan
+    from rossete_rdf_spark.relops import events_anomaly_zscore
+
+    plan = _plan(events_anomaly_zscore(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_not_exists_is_anti_join(spark):
+    # SPARQL FILTER NOT EXISTS must lower to a set-oriented anti join
+    from rossete_rdf_spark.kgops import kg_not_exists
+
+    plan = _plan(kg_not_exists(spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_describe_is_semi_join(spark):
+    # SPARQL DESCRIBE lowers to a semi join (dedup of seeds by construction)
+    from rossete_rdf_spark.kgops import kg_describe_entity
+
+    plan = _plan(kg_describe_entity(spark, SF))
+    assert "LeftSemi" in plan
