@@ -343,3 +343,50 @@ def kg_describe_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pred") == MENTIONS_PRED) & (F.col("obj") == ENT_SPARK)
     ).select("subj")
     return t.join(seeds, "subj", "semi").select("subj", "pred", "obj")
+
+
+def kg_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK — the boolean query form:
+
+        ASK { ?doc <onto:mentions> ent:spark . ?doc <onto:mentions> ent:table }
+
+    lowered to a semi join between the two patterns with a LIMIT 1 above it:
+    Spark's CollectLimit lets the job stop after the first match surfaces
+    (local limit per task + early-exit global limit), so at 10^12 triples a
+    satisfiable ASK touches a few partitions, not the corpus. The final
+    single-row aggregate just converts presence to a boolean."""
+    t = doc_triples_from(_docs(spark, sf_dir))
+    a = t.filter((F.col("pred") == MENTIONS_PRED) & (F.col("obj") == ENT_SPARK)).select("subj")
+    b = t.filter((F.col("pred") == MENTIONS_PRED) & (F.col("obj") == ENT_TABLE)).select("subj")
+    return a.join(b, "subj", "semi").limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+
+
+CONSTRUCT_MIN_DOCS = 60
+
+
+def kg_construct_popular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT — pattern-rewriting query form: derive NEW triples
+
+        CONSTRUCT { ?e <onto:popularIn> ?lang }
+        WHERE { ?doc <onto:mentions> ?e . ?doc <onto:lang> ?lang }
+        (grouped, kept when >= CONSTRUCT_MIN_DOCS docs support the pair)
+
+    i.e. enrichment triples ready to be unioned back into the KG — the
+    inference/materialized-view maintenance loop of a production triple
+    store. Same star-join + aggregate shape as kg_bgp_entity_lang (one
+    subject-keyed join, one map-side-combinable aggregate); the CONSTRUCT
+    step itself is a free projection into (subj, pred, obj) form."""
+    t = doc_triples_from(_docs(spark, sf_dir))
+    m = t.filter(F.col("pred") == MENTIONS_PRED).select("subj", F.col("obj").alias("entity"))
+    lang = t.filter(F.col("pred") == LANG_PRED).select("subj", F.col("obj").alias("lang"))
+    return (
+        m.join(lang, "subj")
+        .groupBy("entity", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= CONSTRUCT_MIN_DOCS)
+        .select(
+            F.col("entity").alias("subj"),
+            F.lit(f"<{ONTO}popularIn>").alias("pred"),
+            F.col("lang").alias("obj"),
+        )
+    )

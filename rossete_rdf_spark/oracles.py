@@ -28,6 +28,7 @@ from .kgops import (
     ONTO,
 )
 from .kgops import UNBOUND as KG_UNBOUND
+from .kgops import CONSTRUCT_MIN_DOCS as KG_CONSTRUCT_MIN_DOCS
 from .pipeline.pagedup import MAX_BUCKET as PAGE_MAX_BUCKET
 from .pipeline.pagedup import MIN_BANDS as PAGE_MIN_BANDS
 from .pipeline.pagedup import NEAR_DUP_JACCARD as PAGE_NEAR_DUP_JACCARD
@@ -57,6 +58,8 @@ from .textops.quality import (
     SPLIT_SEED,
     LANG_MARKERS,
     LANG_ORDER,
+    LENGTH_P_HI,
+    LENGTH_P_LO,
     TFIDF_TOP_K,
     TOKEN_RE,
     WINNOW_K,
@@ -1380,4 +1383,33 @@ z AS (SELECT event_id, e.event_type,
              (cents - s / n) / sqrt((ss - s * s / n) / n) AS z
       FROM e JOIN st ON e.event_type = st.event_type)
 SELECT event_id, event_type, round(z, 3) AS zscore FROM z WHERE abs(z) >= {REL_Z_THRESHOLD}
+"""
+
+ORACLES["kg_ask"] = f"""
+WITH {_triples_ctes("a")}
+SELECT count(*) > 0 AS ask FROM (
+  SELECT 1 FROM t_a a JOIN t_a b ON a.subj = b.subj
+  WHERE a.pred = '<{ONTO}mentions>' AND a.obj = '<{ENTITY_NS}spark>'
+    AND b.pred = '<{ONTO}mentions>' AND b.obj = '<{ENTITY_NS}table>'
+  LIMIT 1) x
+"""
+
+ORACLES["kg_construct_popular"] = f"""
+WITH {_triples_ctes("a")}
+SELECT m.obj AS subj, '<{ONTO}popularIn>' AS pred, l.obj AS obj
+FROM t_a m JOIN t_a l ON m.subj = l.subj
+WHERE m.pred = '<{ONTO}mentions>' AND l.pred = '<{ONTO}lang>'
+GROUP BY 1, 3
+HAVING count(*) >= {KG_CONSTRUCT_MIN_DOCS}
+"""
+
+ORACLES["doc_length_outliers"] = f"""
+WITH d AS (SELECT doc_id, lang, len({_WORDS})::BIGINT AS n_ws_tokens FROM documents),
+q AS (SELECT lang, quantile_cont(n_ws_tokens, {LENGTH_P_LO}) AS p_lo,
+             quantile_cont(n_ws_tokens, {LENGTH_P_HI}) AS p_hi
+      FROM d GROUP BY 1)
+SELECT doc_id, d.lang, n_ws_tokens,
+       CASE WHEN n_ws_tokens < p_lo THEN 'short' ELSE 'long' END AS reason
+FROM d JOIN q ON d.lang = q.lang
+WHERE n_ws_tokens < p_lo OR n_ws_tokens > p_hi
 """

@@ -37,6 +37,7 @@ from .textops import (
     exact_dedup,
     incremental_exact_dedup,
     lang_id,
+    length_outliers,
     minhash_lsh_pairs,
     pii_redact,
     url_dedup,
@@ -88,6 +89,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_repetition_score": _docs_op(repetition_scores),
     "doc_train_test_split": _docs_op(train_test_split),
     "doc_stratified_sample": _docs_op(stratified_sample),
+    "doc_length_outliers": _docs_op(length_outliers),
     "doc_source_stats": _docs_op(source_stats),
     "doc_clean_corpus": _docs_op(clean_corpus),
     "doc_tfidf_top_terms": _docs_op(tfidf_top_terms),
@@ -115,6 +117,8 @@ QUERIES: dict[str, QueryFn] = {
     "kg_optional_mentions": kgops.kg_optional_mentions,
     "kg_not_exists": kgops.kg_not_exists,
     "kg_describe_entity": kgops.kg_describe_entity,
+    "kg_ask": kgops.kg_ask,
+    "kg_construct_popular": kgops.kg_construct_popular,
     # entity-graph analytics over the co-mention graph
     "kg_entity_pagerank": _docs_op(entity_pagerank),
     "kg_entity_triangles": _docs_op(entity_triangles),

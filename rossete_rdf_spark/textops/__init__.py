@@ -23,6 +23,7 @@ from .quality import (  # noqa: F401
     clean_corpus,
     doc_fingerprint,
     lang_id,
+    length_outliers,
     quality_score,
     repetition_scores,
     source_stats,

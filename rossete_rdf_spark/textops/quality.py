@@ -570,3 +570,41 @@ def unigram_logprob(
         "toks",
         F.round(F.col("s") / F.col("toks"), 6).alias("mean_logprob"),
     )
+
+
+LENGTH_P_LO = 0.05
+LENGTH_P_HI = 0.95
+
+
+def length_outliers(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_ws_tokens, reason) — Gopher-style length filtering:
+    docs whose whitespace-token count falls strictly outside their language's
+    [p5, p95] band. Per-language bands matter because token-length
+    distributions differ by language (CJK vs whitespace scripts).
+
+    Two-phase: exact per-lang percentiles (bounded group count — one tiny
+    aggregate), broadcast back onto the scan as a filter join. The exact
+    `percentile` collects each GROUP's values, fine at bounded lang
+    cardinality; at unbounded group counts swap approx_percentile and keep
+    the broadcast-back shape. Threshold comparisons are long-vs-double with
+    both engines interpolating percentiles identically on sorted integers,
+    so the outlier set is bit-stable."""
+    d = docs.select(
+        "doc_id", "lang", F.size(words_col(F.col("text"))).cast("long").alias("n_ws_tokens")
+    )
+    q = d.groupBy("lang").agg(
+        F.expr(f"percentile(n_ws_tokens, {LENGTH_P_LO})").alias("p_lo"),
+        F.expr(f"percentile(n_ws_tokens, {LENGTH_P_HI})").alias("p_hi"),
+    )
+    return (
+        d.join(F.broadcast(q), "lang")
+        .filter((F.col("n_ws_tokens") < F.col("p_lo")) | (F.col("n_ws_tokens") > F.col("p_hi")))
+        .select(
+            "doc_id",
+            "lang",
+            "n_ws_tokens",
+            F.when(F.col("n_ws_tokens") < F.col("p_lo"), F.lit("short"))
+            .otherwise(F.lit("long"))
+            .alias("reason"),
+        )
+    )

@@ -248,3 +248,23 @@ def test_describe_is_semi_join(spark):
 
     plan = _plan(kg_describe_entity(spark, SF))
     assert "LeftSemi" in plan
+
+
+def test_ask_has_early_exit_limit(spark):
+    # SPARQL ASK must carry a limit above the semi join so a satisfiable ask
+    # can stop at the first match instead of scanning the corpus
+    from rossete_rdf_spark.kgops import kg_ask
+
+    plan = _plan(kg_ask(spark, SF))
+    assert "Limit" in plan or "CollectLimit" in plan
+    assert "LeftSemi" in plan
+
+
+def test_length_outliers_broadcasts_percentiles(spark):
+    # the per-lang percentile table is tiny: it must come back as a
+    # broadcast join, never a shuffle of the full doc scan
+    from rossete_rdf_spark.textops.quality import length_outliers
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(length_outliers(docs))
+    assert "BroadcastHashJoin" in plan
