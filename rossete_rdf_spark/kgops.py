@@ -169,6 +169,7 @@ def kg_doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MENTIONS_PRED = f"<{ONTO}mentions>"
 LANG_PRED = f"<{ONTO}lang>"
+RDF_TYPE_PRED = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 
 
 def kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,4 +390,144 @@ def kg_construct_popular(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(f"<{ONTO}popularIn>").alias("pred"),
             F.col("lang").alias("obj"),
         )
+    )
+
+
+# --- RDFS forward chaining ---------------------------------------------------
+# TBox: per-source leaf classes under a 3-level hierarchy. Sources src0..src9
+# come from crawl A, src10+ from crawl B (content-free but deterministic
+# grouping on the numeric suffix).
+#   Source_{src} < Crawl{A|B}Document < WebDocument < Document
+RDFS_CRAWL_A_BELOW = 10
+
+
+def _tbox_edges() -> list[tuple[str, str]]:
+    """(subclass, superclass) direct edges of the static ontology."""
+    edges = [
+        (f"{ONTO}CrawlADocument", f"{ONTO}WebDocument"),
+        (f"{ONTO}CrawlBDocument", f"{ONTO}WebDocument"),
+        (f"{ONTO}WebDocument", f"{ONTO}Document"),
+    ]
+    for n in range(20):
+        crawl = "A" if n < RDFS_CRAWL_A_BELOW else "B"
+        edges.append((f"{ONTO}Source_src{n}", f"{ONTO}Crawl{crawl}Document"))
+    return edges
+
+
+def kg_rdfs_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS subClassOf materialisation (forward chaining): every document's
+    full type set — its per-source leaf class plus ALL transitive
+    superclasses — as (subj, type_iri) rows. The enrichment step a KG
+    pipeline runs after construction so consumers can query `?x a
+    onto:WebDocument` without reasoning at read time.
+
+    Split the way production reasoners split it: the TBox closure is
+    computed on the (tiny, schema-sized) subclass edge list by iterated
+    self-join to a fixpoint — O(depth) driver-coordinated rounds over rows
+    that number in the hundreds even for large real ontologies — and the
+    ABox pass is then ONE broadcast hash join of instance type triples
+    against the closed TBox. No shuffle touches the corpus-sized side: leaf
+    types are minted in the scan projection, the join is map-side, and no
+    distinct is needed because (leaf unique per doc) x (closure rows unique,
+    strictly-super) can't produce duplicates. At 10^12 docs this is a
+    map-only job.
+
+    Closure loop: new paths = paths JOIN direct edges, unioned and deduped
+    per round; terminates when a round adds nothing (depth 3 here). The
+    DuckDB twin is a recursive CTE over the same edge list."""
+    edges = spark.createDataFrame(_tbox_edges(), "sub string, super string")
+    closure = edges
+    while True:
+        grown = (
+            closure.alias("p")
+            .join(edges.alias("e"), F.col("p.super") == F.col("e.sub"))
+            .select(F.col("p.sub").alias("sub"), F.col("e.super").alias("super"))
+            .unionByName(closure)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if grown.count() == closure.count():
+            break
+        closure = grown
+
+    docs = _docs(spark, sf_dir)
+    direct = docs.select(
+        F.concat(F.lit(f"<{DOC_NS}"), F.col("doc_id"), F.lit(">")).alias("subj"),
+        F.concat(F.lit(f"{ONTO}Source_"), F.col("source")).alias("leaf"),
+    )
+    inferred = direct.join(
+        F.broadcast(closure), direct["leaf"] == closure["sub"]
+    ).select("subj", F.col("super").alias("type"))
+    return (
+        direct.select("subj", F.col("leaf").alias("type"))
+        .unionByName(inferred)
+        .select("subj", F.concat(F.lit("<"), F.col("type"), F.lit(">")).alias("type_iri"))
+    )
+
+
+# --- SHACL-style validation --------------------------------------------------
+SHACL_MIN_NCHARS = 100  # sh:minInclusive on onto:nChars
+SHACL_ALLOWED_LANGS = ("en", "es", "de", "fr")  # sh:in on onto:lang
+SHACL_MAX_MENTIONS = 23  # sh:maxCount on onto:mentions (link-farm bar)
+
+
+def kg_shacl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-style validation report over the MATERIALISED triple table:
+    (focus, shape, value) rows, one per violation — the QA gate a KG
+    pipeline runs before publishing a snapshot. Three shapes:
+
+      MentionsMinCount   sh:minCount 1 on onto:mentions — documents linked
+                         to no entity at all (suspicious extraction; this
+                         corpus links every doc, so the shape exists to
+                         prove the anti-join shape and reports zero rows)
+      MentionsMaxCount   sh:maxCount SHACL_MAX_MENTIONS on onto:mentions —
+                         the link-farm bar: a doc whose entity fan-out
+                         exceeds the cap is flagged with the count
+      NCharsMinInclusive sh:minInclusive 100 on the onto:nChars literal —
+                         validated by PARSING the serialized typed literal,
+                         as a SHACL engine would, not by re-reading the
+                         source column
+      LangIn             sh:in (en es de fr) on the onto:lang literal
+
+    Shapes like minCount lower to an ANTI join between the focus set and the
+    constrained-predicate view — one shuffle on subj (co-partitioned and
+    shuffle-free in a subj-partitioned triple layout); value shapes are
+    predicate-filtered scans with a per-row check, map-only. The three
+    violation sets union without dedup (each shape emits at most one row per
+    focus by construction: minCount from the distinct focus set, value
+    shapes from single-valued predicates)."""
+    t = doc_triples_from(_docs(spark, sf_dir))
+    focus = t.filter(F.col("pred") == RDF_TYPE_PRED).select("subj")
+    ment = t.filter(F.col("pred") == MENTIONS_PRED).select("subj")
+    v_mincount = focus.join(ment, "subj", "left_anti").select(
+        "subj", F.lit("MentionsMinCount").alias("shape"), F.lit("").alias("value")
+    )
+    # maxCount: mention edges are distinct per (doc, entity) by construction,
+    # so fan-out is a plain map-side-combinable count per subject
+    v_maxcount = (
+        ment.groupBy("subj")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > SHACL_MAX_MENTIONS)
+        .select(
+            "subj",
+            F.lit("MentionsMaxCount").alias("shape"),
+            F.col("n").cast("string").alias("value"),
+        )
+    )
+    nchars = t.filter(F.col("pred") == f"<{ONTO}nChars>").select(
+        "subj", F.regexp_extract("obj", r'^"(\d+)"', 1).cast("long").alias("n")
+    )
+    v_nchars = nchars.filter(F.col("n") < SHACL_MIN_NCHARS).select(
+        "subj",
+        F.lit("NCharsMinInclusive").alias("shape"),
+        F.col("n").cast("string").alias("value"),
+    )
+    lang = t.filter(F.col("pred") == LANG_PRED).select(
+        "subj", F.regexp_extract("obj", r'^"([^"]*)"', 1).alias("lang")
+    )
+    v_lang = lang.filter(~F.col("lang").isin(*SHACL_ALLOWED_LANGS)).select(
+        "subj", F.lit("LangIn").alias("shape"), F.col("lang").alias("value")
+    )
+    return (
+        v_mincount.unionByName(v_maxcount).unionByName(v_nchars).unionByName(v_lang)
     )

@@ -1413,3 +1413,124 @@ SELECT doc_id, d.lang, n_ws_tokens,
 FROM d JOIN q ON d.lang = q.lang
 WHERE n_ws_tokens < p_lo OR n_ws_tokens > p_hi
 """
+
+# --- sketches (KMV distinct, count-min heavy hitters) ------------------------
+
+from .textops.sketches import (  # noqa: E402
+    CMS_DEPTH,
+    CMS_TOP,
+    CMS_WIDTH,
+    KMV_K,
+)
+
+from .textops.sketches import KMV_NGRAM  # noqa: E402
+
+_TOK_HASH = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+_KMV_EST = f"""CASE WHEN n_heap < {KMV_K} THEN n_heap
+       ELSE CAST(floor({float(KMV_K - 1)!r} * 1152921504606846976.0
+                       / CAST(kth_min_hash AS DOUBLE)) AS BIGINT) END"""
+_SHINGLES = (
+    f"(SELECT unnest({sql_pos_grams('w', KMV_NGRAM)}) AS tok "
+    f"FROM (SELECT {_WORDS} AS w FROM documents))"
+)
+
+ORACLES["sketch_distinct_kmv"] = f"""
+WITH h AS (SELECT DISTINCT {_TOK_HASH} AS h FROM {_SHINGLES}),
+kth AS (SELECT max(h) AS kth_min_hash, count(*)::BIGINT AS n_heap
+        FROM (SELECT h FROM h ORDER BY h LIMIT {KMV_K})),
+c AS (SELECT count(*)::BIGINT AS exact_distinct FROM h)
+SELECT {KMV_K}::INTEGER AS k, kth_min_hash,
+       {_KMV_EST} AS est_distinct,
+       exact_distinct,
+       round(abs(({_KMV_EST}) - exact_distinct)
+             / CAST(exact_distinct AS DOUBLE) * 100.0, 2) AS rel_err_pct
+FROM kth, c
+"""
+
+_CMS_BUCKET = (
+    f"('0x' || substr(md5('cms' || r::VARCHAR || '|' || tok), 1, 15))::BIGINT"
+    f" % {CMS_WIDTH}"
+)
+
+ORACLES["heavy_hitters_cms"] = f"""
+WITH tc AS (
+  SELECT tok, count(*)::BIGINT AS exact_count
+  FROM {_SHINGLES} GROUP BY 1),
+cells AS (
+  SELECT r, {_CMS_BUCKET} AS b, sum(exact_count)::BIGINT AS cell_sum
+  FROM tc, range({CMS_DEPTH}) t(r) GROUP BY 1, 2),
+cands AS (SELECT tok, exact_count FROM tc
+          ORDER BY exact_count DESC, tok ASC LIMIT {CMS_TOP}),
+probes AS (SELECT tok, exact_count, r, {_CMS_BUCKET} AS b
+           FROM cands, range({CMS_DEPTH}) t(r))
+SELECT probes.tok AS token, probes.exact_count,
+       min(cell_sum)::BIGINT AS cms_estimate
+FROM probes JOIN cells USING (r, b)
+GROUP BY 1, 2
+"""
+
+# --- RDFS inference + SHACL validation ---------------------------------------
+
+from .kgops import (  # noqa: E402
+    SHACL_ALLOWED_LANGS,
+    SHACL_MAX_MENTIONS,
+    SHACL_MIN_NCHARS,
+    _tbox_edges,
+)
+
+_TBOX_VALUES = ", ".join(f"('{s}', '{p}')" for s, p in _tbox_edges())
+
+ORACLES["kg_rdfs_inference"] = f"""
+WITH RECURSIVE tbox(sub, super) AS (VALUES {_TBOX_VALUES}),
+closure(sub, super) AS (
+  SELECT sub, super FROM tbox
+  UNION
+  SELECT c.sub, t.super FROM closure c JOIN tbox t ON c.super = t.sub),
+direct AS (
+  SELECT '<{DOC_NS}' || doc_id::VARCHAR || '>' AS subj,
+         '{ONTO}Source_' || source AS leaf
+  FROM documents)
+SELECT subj, '<' || leaf || '>' AS type_iri FROM direct
+UNION ALL
+SELECT subj, '<' || super || '>' AS type_iri
+FROM direct JOIN closure ON leaf = sub
+"""
+
+_SHACL_LANGS = ", ".join(f"'{lang}'" for lang in SHACL_ALLOWED_LANGS)
+
+ORACLES["kg_shacl_validate"] = f"""
+WITH {_triples_ctes("a")}
+SELECT f.subj, 'MentionsMinCount' AS shape, '' AS value
+FROM (SELECT subj FROM t_a WHERE pred = '{RDF_TYPE}') f
+LEFT JOIN (SELECT DISTINCT subj FROM t_a WHERE pred = '<{ONTO}mentions>') m
+  ON f.subj = m.subj
+WHERE m.subj IS NULL
+UNION ALL
+SELECT subj, 'MentionsMaxCount' AS shape, count(*)::VARCHAR AS value
+FROM (SELECT DISTINCT subj, obj FROM t_a WHERE pred = '<{ONTO}mentions>')
+GROUP BY subj
+HAVING count(*) > {SHACL_MAX_MENTIONS}
+UNION ALL
+SELECT subj, 'NCharsMinInclusive' AS shape, n::VARCHAR AS value
+FROM (SELECT subj, regexp_extract(obj, '^"(\\d+)"', 1)::BIGINT AS n
+      FROM t_a WHERE pred = '<{ONTO}nChars>')
+WHERE n < {SHACL_MIN_NCHARS}
+UNION ALL
+SELECT subj, 'LangIn' AS shape, l AS value
+FROM (SELECT subj, regexp_extract(obj, '^"([^"]*)"', 1) AS l
+      FROM t_a WHERE pred = '<{ONTO}lang>')
+WHERE l NOT IN ({_SHACL_LANGS})
+"""
+
+ORACLES["tpch_q5_local_volume"] = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY 1
+"""

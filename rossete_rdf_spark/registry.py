@@ -26,6 +26,8 @@ from .streaming.events import (
 )
 from .textops import (
     ann_cosine_topk,
+    heavy_hitters_cms,
+    sketch_distinct_kmv,
     clean_corpus,
     decontaminate,
     ann_ivf_kmeans_topk,
@@ -98,6 +100,9 @@ QUERIES: dict[str, QueryFn] = {
     # web-corpus cleaning (URL canonicalization + PII scrub)
     "doc_url_dedup": _docs_op(url_dedup),
     "doc_pii_redact": _docs_op(pii_redact),
+    # fixed-memory sketches (KMV distinct estimate, count-min heavy hitters)
+    "sketch_distinct_kmv": _docs_op(sketch_distinct_kmv),
+    "heavy_hitters_cms": _docs_op(heavy_hitters_cms),
     # similarity search + embedding-tier dedup
     "ann_cosine_topk": _emb_op(ann_cosine_topk),
     "ann_lsh_bucket_topk": _emb_op(ann_lsh_bucket_topk),
@@ -119,6 +124,9 @@ QUERIES: dict[str, QueryFn] = {
     "kg_describe_entity": kgops.kg_describe_entity,
     "kg_ask": kgops.kg_ask,
     "kg_construct_popular": kgops.kg_construct_popular,
+    # RDFS forward chaining + SHACL-style snapshot validation
+    "kg_rdfs_inference": kgops.kg_rdfs_inference,
+    "kg_shacl_validate": kgops.kg_shacl_validate,
     # entity-graph analytics over the co-mention graph
     "kg_entity_pagerank": _docs_op(entity_pagerank),
     "kg_entity_triangles": _docs_op(entity_triangles),
@@ -146,6 +154,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_sessionize": relops.events_sessionize,
     "tpch_q1_pricing": relops.tpch_q1_pricing,
     "tpch_q3_shipping": relops.tpch_q3_shipping,
+    "tpch_q5_local_volume": relops.tpch_q5_local_volume,
     # structured streaming (real readStream -> watermark -> memory sink)
     "streaming_hourly_agg": streaming_hourly_agg_query,
     "streaming_dedup": streaming_dedup_query,

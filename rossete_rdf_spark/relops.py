@@ -819,6 +819,53 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-table join anchor — revenue
+    per ASIA nation for 1996 orders where the supplier and customer share a
+    nation. The join-ordering showcase:
+
+    - orders is date-filtered AT THE SCAN (PushedFilters on o_orderdate),
+      then the fact chain lineitem><orders><customer shuffles on its natural
+      keys (orderkey, then custkey) — the two genuinely big joins.
+    - supplier joins on (l_suppkey AND s_nationkey = c_nationkey): the
+      locality predicate rides the equi-join instead of a post-filter, so
+      the join emits only local-supplier rows.
+    - nation><region(ASIA) collapses to a 5-row dim broadcast BEFORE
+      touching the fact chain: region pruning cuts the fact rows 5x ahead
+      of the aggregate. customer/supplier are NOT hard-broadcast (they grow
+      with SF); AQE downgrades those shuffles to broadcast when small.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    asia_nat = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(asia_nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
 FUNNEL_WINDOW_HOURS = 24
 
 

@@ -15,6 +15,10 @@ from .dedup import (  # noqa: F401
     simhash,
     span_dedup,
 )
+from .sketches import (  # noqa: F401
+    heavy_hitters_cms,
+    sketch_distinct_kmv,
+)
 from .webclean import (  # noqa: F401
     pii_redact,
     url_dedup,

@@ -1,0 +1,117 @@
+"""Plan + semantics checks for the sketch queries (KMV, CMS) and the KG
+enrichment/validation queries (RDFS inference, SHACL report)."""
+
+from pyspark.sql import functions as F
+
+from rossete_rdf_spark.kgops import (
+    ONTO,
+    _tbox_edges,
+    kg_rdfs_inference,
+    kg_shacl_validate,
+)
+from rossete_rdf_spark.registry import QUERIES
+from rossete_rdf_spark.textops.sketches import (
+    CMS_TOP,
+    KMV_K,
+    heavy_hitters_cms,
+    sketch_distinct_kmv,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_kmv_topk_is_bounded_heap_not_sort(spark):
+    # orderBy(h).limit(k) must compile to TakeOrderedAndProject (per-task
+    # k-element heap + driver merge), never a global Sort — the property the
+    # 100 TB story depends on
+    plan = _plan(sketch_distinct_kmv(_docs(spark)))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [h" not in plan
+
+
+def test_kmv_estimate_is_close_and_exact_matches(spark):
+    from rossete_rdf_spark.textops.common import pos_grams, words_col
+    from rossete_rdf_spark.textops.sketches import KMV_NGRAM
+
+    row = sketch_distinct_kmv(_docs(spark)).collect()[0]
+    exact = (
+        _docs(spark)
+        .select(words_col(F.col("text")).alias("w"))
+        .select(F.explode(pos_grams(F.col("w"), KMV_NGRAM)).alias("g"))
+        .distinct()
+        .count()
+    )
+    assert row.exact_distinct == exact
+    assert exact > KMV_K  # the estimator branch, not the exact-heap branch
+    # k=256 gives ~1/sqrt(k) ~ 6% standard error; allow 4 sigma
+    assert abs(row.est_distinct - exact) / exact < 0.25
+
+
+def test_cms_estimates_upper_bound_exact(spark):
+    rows = heavy_hitters_cms(_docs(spark)).collect()
+    assert len(rows) == CMS_TOP
+    for r in rows:
+        # CMS collisions only ever inflate a cell
+        assert r.cms_estimate >= r.exact_count
+
+
+def test_rdfs_inference_corpus_side_never_shuffles(spark):
+    # the ABox pass must be map-only: broadcast TBox closure, no hash
+    # partitioning exchange anywhere (the corpus-sized side never shuffles)
+    plan = _plan(kg_rdfs_inference(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_rdfs_inference_types_transitive(spark):
+    # pick one doc and check the full chain is present
+    df = kg_rdfs_inference(spark, SF)
+    one = df.limit(1).collect()[0].subj
+    got = {r.type_iri for r in df.filter(F.col("subj") == one).collect()}
+    assert len(got) == 4  # leaf + crawl + web + document
+    assert f"<{ONTO}Document>" in got
+    assert f"<{ONTO}WebDocument>" in got
+
+
+def test_tbox_is_acyclic_and_fixed(spark):
+    edges = _tbox_edges()
+    assert len(edges) == 23
+    subs = {s for s, _ in edges}
+    # roots: Document never appears as a subclass
+    assert f"{ONTO}Document" not in subs
+
+
+def test_shacl_shapes_partition_violations(spark):
+    rows = kg_shacl_validate(spark, SF).collect()
+    by_shape = {}
+    for r in rows:
+        by_shape.setdefault(r.shape, []).append(r)
+    # every shape fires on this corpus and no focus repeats within a shape
+    for shape, vs in by_shape.items():
+        focuses = [v.subj for v in vs]
+        assert len(focuses) == len(set(focuses)), shape
+    # MentionsMinCount never fires here (every doc links >= 1 entity); the
+    # three data-dependent shapes must all fire
+    assert set(by_shape) == {"MentionsMaxCount", "NCharsMinInclusive", "LangIn"}
+    for v in by_shape["LangIn"]:
+        assert v.value == "zh"
+    for v in by_shape["NCharsMinInclusive"]:
+        assert int(v.value) < 100
+    for v in by_shape["MentionsMaxCount"]:
+        assert int(v.value) > 23
+
+
+def test_q5_pushes_date_filter_to_orders_scan(spark):
+    plan = _plan(QUERIES["tpch_q5_local_volume"](spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed)
