@@ -1134,19 +1134,27 @@ SELECT entity, wdeg, round(rank, 8) AS rank FROM r{PAGERANK_ITERS}
 """
 )
 
-# Per-entity triangle counts on the k-NN-sparsified graph -- same knn keep
-# rule (w DESC, dst tie-break, rn <= KNN_K), same canonical dedup, same
-# (deg, name) orientation and wedge ordering as entity_triangles. Integers
-# and strings only.
-ORACLES["kg_entity_triangles"] = f"""
-WITH {_GRAPH_BASE},
-sym AS (SELECT e1 AS src, e2 AS dst, w FROM ced
-        UNION ALL SELECT e2, e1, w FROM ced),
+def _knn_ctes(k: int) -> str:
+    """CTE chain symk -> knn -> und: the symmetrised, k-NN-sparsified,
+    canonically-deduped co-mention graph over `ced` — the single SQL twin of
+    analytics.entity_knn_edges (keep rule: w DESC, dst tie-break, rn <= k),
+    shared by the triangle (k=KNN_K) and LP/BFS (k=LP_KNN_K) oracles so the
+    sparsification can't silently diverge between them."""
+    return f"""symk AS (SELECT e1 AS src, e2 AS dst, w FROM ced
+         UNION ALL SELECT e2, e1, w FROM ced),
 knn AS (SELECT src, dst, w,
                row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
-        FROM sym),
+        FROM symk),
 und AS (SELECT DISTINCT least(src, dst) AS e1, greatest(src, dst) AS e2, w
-        FROM knn WHERE rn <= {KNN_K}),
+        FROM knn WHERE rn <= {k})"""
+
+
+# Per-entity triangle counts on the k-NN-sparsified graph -- same knn keep
+# rule, same canonical dedup, same (deg, name) orientation and wedge
+# ordering as entity_triangles. Integers and strings only.
+ORACLES["kg_entity_triangles"] = f"""
+WITH {_GRAPH_BASE},
+{_knn_ctes(KNN_K)},
 degl AS (SELECT v, count(*)::BIGINT AS deg
          FROM (SELECT unnest([e1, e2]) AS v FROM und) GROUP BY 1),
 ej AS (SELECT und.e1, und.e2, d1.deg AS d1, d2.deg AS d2
@@ -1197,13 +1205,7 @@ _LP_ROUNDS = ",".join(_lp_round(i) for i in range(1, LP_ITERS + 1))
 # Symmetrised k=LP_KNN_K-sparsified co-mention graph (the analytics twin of
 # entity_knn_edges(k=2) + _symmetric) — shared by the label-propagation and
 # BFS-reachability oracles.
-_KNN2_SYM = f"""symk AS (SELECT e1 AS src, e2 AS dst, w FROM ced
-         UNION ALL SELECT e2, e1, w FROM ced),
-knn AS (SELECT src, dst, w,
-               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
-        FROM symk),
-und AS (SELECT DISTINCT least(src, dst) AS e1, greatest(src, dst) AS e2, w
-        FROM knn WHERE rn <= {LP_KNN_K}),
+_KNN2_SYM = f"""{_knn_ctes(LP_KNN_K)},
 sym AS (SELECT e1 AS src, e2 AS dst, w FROM und
         UNION ALL SELECT e2, e1, w FROM und)"""
 

@@ -669,9 +669,10 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard metric-anomaly sweep over an event stream.
 
     Cross-engine float determinism is engineered, not hoped for: values are
-    quantized to integer cents ONCE (truncation of value*100 + 0.5 — no
-    rounding-rule dependence), so the per-type moments are sums of exact
-    integers; mean and variance are then a fixed chain of IEEE double ops
+    quantized to integer cents ONCE (floor(value*100 + 0.5) — floor, not a
+    bare long cast: Spark's double->long cast truncates toward zero while
+    DuckDB's rounds, and for negative values truncation also diverges from
+    floor), so the per-type moments are sums of exact integers; mean and variance are then a fixed chain of IEEE double ops
     ((ss - s*s/n)/n, written identically in the oracle), which both engines
     evaluate bit-identically regardless of row order. sum(cents^2) stays
     within int64 up to ~10^9 rows at this value range; beyond that the same
@@ -682,7 +683,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused into codegen, so at 100 TB the op costs one shuffle of partial
     aggregates plus one full scan, never a window sort over the corpus."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "cents", (F.col("value") * 100 + 0.5).cast("long")
+        "cents", F.floor(F.col("value") * 100 + 0.5).cast("long")
     )
     stats = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),

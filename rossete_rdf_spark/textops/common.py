@@ -36,7 +36,7 @@ def gram_index(w: Column, n: int) -> Column:
 def pos_grams(w: Column, n: int) -> Column:
     """POSITIONAL word n-grams (duplicates kept) joined by spaces, over a
     word-array column. Matches sql_pos_grams(). The single Spark-side gram
-    builder — ngrams_col and the winnowing gram sequence both derive from
+    builder — every gram consumer (dedup, winnowing, sketches) derives from
     it, so an indexing/guard change lands everywhere at once.
 
     Spark arrays are 0-indexed (element_at is 1-indexed); the SQL twin uses
@@ -49,9 +49,12 @@ def pos_grams(w: Column, n: int) -> Column:
     )
 
 
-def ngrams_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams joined by spaces. Matches sql_ngrams()."""
-    return F.array_distinct(pos_grams(words_col(text), n))
+# NOTE deliberately no one-arg "ngrams over text" convenience builder: every
+# caller must stage the word array as a named column FIRST and pass it to
+# pos_grams (array_distinct on top where set semantics are wanted). A helper
+# that takes the text column would re-tokenize once per element_at inside the
+# gram lambda — the 5-12x regression guarded by
+# tests/test_plans.py::test_gram_builders_tokenize_once.
 
 
 # --- SQL (DuckDB oracle) side ----------------------------------------------

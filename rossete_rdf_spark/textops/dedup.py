@@ -183,7 +183,7 @@ BAND_ROWS = 2  # 4 bands of 2 rows
 MINHASH_MAX_BUCKET = 50  # default LSH bucket skew cap (see minhash_lsh_pairs)
 
 
-def minhash64(col, seed: int):
+def minhash64(col, seed: int | str):
     """Portable 60-bit hash: the first 15 hex chars of md5 as a BIGINT.
     Identical in DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT.
 

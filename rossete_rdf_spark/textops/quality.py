@@ -423,8 +423,8 @@ def winnow_fingerprints(
     """(doc_id, fp) — distinct selected winnowing fingerprints per doc.
 
     Everything is per-row array math inside whole-stage codegen (transform/
-    slice/array_min on the POSITIONAL gram sequence — not ngrams_col, which
-    is de-duplicated): no shuffle at all until a consumer aggregates, and
+    slice/array_min on the POSITIONAL gram sequence — duplicates kept, not
+    the de-duplicated gram set): no shuffle at all until a consumer aggregates, and
     the downstream shape (explode -> groupBy fp) is the same inverted-index
     join family as the other dedup tiers. Docs shorter than k+w-1 words
     yield no fingerprints. Oracle twin: list comprehensions in oracles.py."""

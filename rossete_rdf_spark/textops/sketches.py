@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .common import pos_grams, words_col
+from .dedup import minhash64
 
 # 2^60: the md5-prefix hash is 15 hex digits, uniform on [0, 2^60).
 HASH_SPACE = float(1 << 60)
@@ -112,13 +113,10 @@ def sketch_distinct_kmv(docs: DataFrame) -> DataFrame:
 
 
 def _cms_bucket(tok, row: int) -> F.Column:
-    """Row-`row` CMS bucket of a token: seeded 60-bit hash mod WIDTH."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"cms{row}|"), tok)), 1, 15), 16, 10
-        ).cast("long")
-        % CMS_WIDTH
-    )
+    """Row-`row` CMS bucket of a token: seeded 60-bit hash mod WIDTH (the
+    shared md5-prefix recipe — minhash64 — so the hash convention lives in
+    one place)."""
+    return minhash64(tok, f"cms{row}") % CMS_WIDTH
 
 
 def heavy_hitters_cms(docs: DataFrame) -> DataFrame:
