@@ -1536,3 +1536,31 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
 GROUP BY 1
 """
+
+# --- incremental near-dup + hopping windows ----------------------------------
+
+ORACLES["incremental_minhash_neardup"] = f"""
+WITH g AS (SELECT doc_id, unnest({_NGRAMS}) AS ng FROM documents),
+sig AS (SELECT doc_id, {_minhash_cols} FROM g GROUP BY 1),
+bands0 AS ({_band_selects}),
+bk AS (SELECT *, ('0x' || substr(md5('{SPLIT_SEED}|' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+       FROM bands0),
+corp AS (SELECT doc_id, band, key FROM
+           (SELECT *, count(*) OVER (PARTITION BY band, key) AS bn
+            FROM bk WHERE bucket < {INCREMENTAL_BATCH_BUCKET})
+         WHERE bn <= {MINHASH_MAX_BUCKET}),
+batch AS (SELECT doc_id, band, key FROM bk WHERE bucket >= {INCREMENTAL_BATCH_BUCKET})
+SELECT b.doc_id AS new_id, c.doc_id AS corpus_id, count(*)::BIGINT AS n_bands
+FROM batch b JOIN corp c ON b.band = c.band AND b.key = c.key
+GROUP BY 1, 2
+"""
+
+# hopping 2h/1h windows: every event is in exactly 2 epoch-aligned windows
+# (start = hour floor, and that minus 1h) — replayed as a cross join with
+# range(2) instead of Spark's window-list generator
+ORACLES["events_hopping_agg"] = """
+SELECT strftime(date_trunc('hour', ts) - to_hours(k), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+FROM events, range(2) t(k)
+GROUP BY 1, 2
+"""

@@ -38,6 +38,7 @@ from .textops import (
     embedding_neardup_pairs,
     exact_dedup,
     incremental_exact_dedup,
+    incremental_minhash_neardup,
     lang_id,
     length_outliers,
     minhash_lsh_pairs,
@@ -78,6 +79,7 @@ QUERIES: dict[str, QueryFn] = {
     # training-data ops: dedup family
     "exact_dedup": _docs_op(exact_dedup),
     "incremental_exact_dedup": _docs_op(incremental_exact_dedup),
+    "incremental_minhash_neardup": _docs_op(incremental_minhash_neardup),
     "doc_fingerprint": _docs_op(doc_fingerprint),
     "doc_winnow_fingerprint": _docs_op(winnow_fingerprints),
     "ngram_jaccard_pairs": _docs_op(ngram_jaccard_pairs),
@@ -151,6 +153,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_rollup": relops.events_rollup,
     "events_pivot": relops.events_pivot,
     "events_hourly_agg": relops.events_hourly_agg,
+    "events_hopping_agg": relops.events_hopping_agg,
     "events_sessionize": relops.events_sessionize,
     "tpch_q1_pricing": relops.tpch_q1_pricing,
     "tpch_q3_shipping": relops.tpch_q3_shipping,

@@ -760,6 +760,36 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOP_WINDOW = "2 hours"
+HOP_SLIDE = "1 hour"
+
+
+def events_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) 2h-window-every-1h aggregate per event_type — the
+    overlapping-window rollup (each event lands in exactly
+    window/slide = 2 windows). Expressed with F.window's slideDuration:
+    Catalyst expands it to a per-row window-list generator + explode feeding
+    ONE map-side-combinable hash aggregate — the overlap multiplies rows by
+    a constant 2x at the generator, never by re-scanning, and no sort or
+    window function is involved (same aggregate shape as the tumbling
+    `events_hourly_agg`, which this extends). Epoch-aligned window starts,
+    UTC session — the oracle reproduces the alignment arithmetic exactly."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", HOP_WINDOW, HOP_SLIDE).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min): per (user, session) event count and
     span. One window over (user_id, ts) — the declarative form of a stateful

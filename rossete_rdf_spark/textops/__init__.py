@@ -10,6 +10,7 @@ from .dedup import (  # noqa: F401
     decontaminate,
     exact_dedup,
     incremental_exact_dedup,
+    incremental_minhash_neardup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,

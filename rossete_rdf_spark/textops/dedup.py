@@ -213,6 +213,36 @@ def minhash_signatures(
     )
 
 
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH banding rows of a signature table: band key =
+    md5 of that band's BAND_ROWS signature columns. The single banding
+    builder — the self-join (minhash_lsh_pairs) and the batch-vs-corpus
+    incremental variant share it."""
+    n_bands = N_HASHES // BAND_ROWS
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"h{b * BAND_ROWS + r}")
+                                    for r in range(BAND_ROWS)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -232,26 +262,7 @@ def minhash_lsh_pairs(
     max_bucket=None opts into the uncapped all-candidates variant (only sane
     on corpora known to be free of hot buckets)."""
     sig = minhash_signatures(docs, n, id_col, text_col)
-    n_bands = N_HASHES // BAND_ROWS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)],
-                            )
-                        ).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = _band_rows(sig)
 
     if max_bucket:
         # same anti-join shape as the ngram df cap: oversized buckets are
@@ -441,4 +452,60 @@ def span_dedup(
             (F.size("_blocks") - F.coalesce("n_kept", F.lit(0))).cast("long")
             .alias("n_spans_dropped"),
         )
+    )
+
+
+def incremental_minhash_neardup(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = MINHASH_MAX_BUCKET,
+) -> DataFrame:
+    """NEAR-dup candidates of a NEW BATCH against an EXISTING CORPUS — the
+    incremental face of minhash_lsh_pairs, completing the pair with
+    incremental_exact_dedup (a crawl increment is checked for near-dups
+    against what is already stored; the corpus is never re-self-joined).
+    Batch/corpus split is the same content-stable hash bucket as the exact
+    variant (quality.split_bucket >= INCREMENTAL_BATCH_BUCKET = batch).
+
+    Plan: ONE scan builds signatures for both sides (the bucket is a pure
+    function of the id, recomputed after the signature agg rather than
+    dragged through it); banding is the shared _band_rows builder. The hot-
+    bucket cap applies to the CORPUS side only — that is the side whose
+    boilerplate buckets grow with the archive; the batch side is one
+    increment and joins as the (smaller) probe. The batch x corpus band join
+    is a plain equi-join on (band, key) — NOT a self-join, so cost scales
+    with batch size x bucket occupancy, not corpus^2; in production the
+    corpus banding table is a persisted, bucketed-by-key artifact appended
+    per increment, so only the batch side is ever rebuilt.
+
+    Output: (new_id, corpus_id, n_bands) — batch docs likely-near-duplicate
+    of an archived doc, with LSH evidence strength."""
+    from .quality import split_bucket
+
+    sig = minhash_signatures(docs, n, id_col, text_col)
+    bands = _band_rows(sig).withColumn("__bucket", split_bucket(F.col("doc_id")))
+    corp = bands.filter(F.col("__bucket") < INCREMENTAL_BATCH_BUCKET).drop("__bucket")
+    batch = bands.filter(F.col("__bucket") >= INCREMENTAL_BATCH_BUCKET).drop(
+        "__bucket"
+    )
+    if max_bucket:
+        hot = (
+            corp.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket)
+            .select("band", "key")
+        )
+        corp = corp.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    return (
+        batch.alias("b")
+        .join(
+            corp.alias("c"),
+            (F.col("b.band") == F.col("c.band")) & (F.col("b.key") == F.col("c.key")),
+        )
+        .groupBy(
+            F.col("b.doc_id").alias("new_id"), F.col("c.doc_id").alias("corpus_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
     )

@@ -115,3 +115,25 @@ def test_q5_pushes_date_filter_to_orders_scan(spark):
     plan = _plan(QUERIES["tpch_q5_local_volume"](spark, SF))
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("o_orderdate" in ln for ln in pushed)
+
+
+def test_hopping_agg_events_land_in_exactly_two_windows(spark):
+    from rossete_rdf_spark.relops import events_hopping_agg
+
+    total = events_hopping_agg(spark, SF).agg(F.sum("n_events")).collect()[0][0]
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert total == 2 * n_events  # window/slide = 2 overlapping windows each
+
+
+def test_incremental_neardup_ids_respect_the_split(spark):
+    from rossete_rdf_spark.textops.dedup import incremental_minhash_neardup
+    from rossete_rdf_spark.textops.quality import split_bucket
+
+    out = incremental_minhash_neardup(_docs(spark))
+    buck = out.select(
+        split_bucket(F.col("new_id")).alias("nb"),
+        split_bucket(F.col("corpus_id")).alias("cb"),
+    ).collect()
+    assert len(buck) > 0
+    for r in buck:
+        assert r.nb >= 90 and r.cb < 90  # batch probes, corpus archive
