@@ -531,3 +531,38 @@ def kg_shacl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         v_mincount.unionByName(v_maxcount).unionByName(v_nchars).unionByName(v_lang)
     )
+
+
+def kg_group_concat_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 GROUP_CONCAT — the aggregate query form:
+
+        SELECT ?e (GROUP_CONCAT(DISTINCT ?lang; separator=",") AS ?langs)
+        WHERE { ?doc <onto:mentions> ?e . ?doc <onto:lang> ?lang }
+        GROUP BY ?e
+
+    i.e. the language coverage string per entity. Same BGP star join as
+    kg_bgp_entity_lang; the concat is collect_set -> array_sort ->
+    concat_ws so the result is order-deterministic regardless of partition
+    arrival order (an unordered GROUP_CONCAT is non-reproducible by
+    definition — the ORDER BY inside the aggregate is the only sane
+    contract, and what the oracle replays). collect_set's state is bounded
+    by the language cardinality (single digits), so the ObjectHashAggregate
+    buffer stays tiny even for hub entities; n_langs rides along from the
+    same set."""
+    t = doc_triples_from(_docs(spark, sf_dir))
+    m = t.filter(F.col("pred") == MENTIONS_PRED).select(
+        "subj", F.col("obj").alias("entity")
+    )
+    lang = t.filter(F.col("pred") == LANG_PRED).select(
+        "subj",
+        F.regexp_extract("obj", r'^"([^"]*)"', 1).alias("lang"),
+    )
+    langs = F.array_sort(F.collect_set("lang"))
+    return (
+        m.join(lang, "subj")
+        .groupBy("entity")
+        .agg(
+            F.concat_ws(",", langs).alias("langs"),
+            F.size(langs).alias("n_langs"),
+        )
+    )

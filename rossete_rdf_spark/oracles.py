@@ -1564,3 +1564,15 @@ SELECT strftime(date_trunc('hour', ts) - to_hours(k), '%Y-%m-%d %H:%M:%S') AS wi
 FROM events, range(2) t(k)
 GROUP BY 1, 2
 """
+
+ORACLES["kg_group_concat_langs"] = f"""
+WITH {_triples_ctes("a")}
+SELECT m.obj AS entity,
+       string_agg(DISTINCT l.lang, ',' ORDER BY l.lang) AS langs,
+       count(DISTINCT l.lang)::INTEGER AS n_langs
+FROM (SELECT subj, obj FROM t_a WHERE pred = '<{ONTO}mentions>') m
+JOIN (SELECT subj, regexp_extract(obj, '^"([^"]*)"', 1) AS lang
+      FROM t_a WHERE pred = '<{ONTO}lang>') l
+  ON m.subj = l.subj
+GROUP BY 1
+"""

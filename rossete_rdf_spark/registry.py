@@ -126,6 +126,7 @@ QUERIES: dict[str, QueryFn] = {
     "kg_describe_entity": kgops.kg_describe_entity,
     "kg_ask": kgops.kg_ask,
     "kg_construct_popular": kgops.kg_construct_popular,
+    "kg_group_concat_langs": kgops.kg_group_concat_langs,
     # RDFS forward chaining + SHACL-style snapshot validation
     "kg_rdfs_inference": kgops.kg_rdfs_inference,
     "kg_shacl_validate": kgops.kg_shacl_validate,
