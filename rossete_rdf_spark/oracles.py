@@ -1576,3 +1576,15 @@ JOIN (SELECT subj, regexp_extract(obj, '^"([^"]*)"', 1) AS lang
   ON m.subj = l.subj
 GROUP BY 1
 """
+
+# stream-stream interval join == the batch interval self-join under a
+# single availableNow micro-batch (nothing is watermark-dropped)
+ORACLES["streaming_interval_join"] = """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+"""

@@ -22,6 +22,7 @@ from .pipeline.pagedup import page_canonical_exact_query, page_canonical_lsh_que
 from .streaming.events import (
     streaming_dedup_query,
     streaming_hourly_agg_query,
+    streaming_interval_join_query,
     streaming_sessionize_query,
 )
 from .textops import (
@@ -162,6 +163,7 @@ QUERIES: dict[str, QueryFn] = {
     # structured streaming (real readStream -> watermark -> memory sink)
     "streaming_hourly_agg": streaming_hourly_agg_query,
     "streaming_dedup": streaming_dedup_query,
+    "streaming_interval_join": streaming_interval_join_query,
     "streaming_sessionize": streaming_sessionize_query,
     # multimodal binary-column plumbing (mapInPandas feature extraction)
     "multimodal_features": multimodal_features_query,

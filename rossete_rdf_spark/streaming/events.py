@@ -245,3 +245,61 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     out = streaming_sessionize(stream.select("user_id", "ts", "event_id", "value"))
     return _run_to_memory_sink(spark, out, "sess", "update")
+
+
+# --- stream-stream interval join ---------------------------------------------
+
+JOIN_TOLERANCE = "INTERVAL 1 HOUR"  # click attributed to a view within 1h
+JOIN_WATERMARK = "2 hours"
+
+
+def streaming_interval_join(events: DataFrame) -> DataFrame:
+    """Watermarked stream-stream INNER join: clicks attributed to the views
+    they followed within JOIN_TOLERANCE, per user — ad attribution as two
+    live streams rather than a batch self-join.
+
+    Both sides carry a watermark and the join condition carries a time
+    range (click.ts in [view.ts, view.ts + tolerance]); together those are
+    what lets Spark BOUND the join state: a buffered view can be evicted
+    once the click-side watermark passes view.ts + tolerance, and a
+    buffered click once the view-side watermark passes click.ts — without
+    them the state store must hold both streams forever. State is keyed by
+    user_id (the equi-part of the condition), so the shuffle co-partitions
+    both streams exactly like the batch join would.
+
+    Under availableNow on one file both streams arrive in a single
+    micro-batch, the watermark evicts nothing before the join runs, and
+    the appended output equals the batch interval self-join — which is why
+    this streaming query carries a full DuckDB oracle."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", JOIN_WATERMARK)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", JOIN_WATERMARK)
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(JOIN_TOLERANCE)),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
+def streaming_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: readStream -> two filtered stream views ->
+    watermarked interval join -> memory sink (append; stream-stream inner
+    join emits final rows only)."""
+    out = streaming_interval_join(_events_stream(spark, sf_dir))
+    return _run_to_memory_sink(spark, out, "ssjoin", "append")

@@ -137,3 +137,18 @@ def test_incremental_neardup_ids_respect_the_split(spark):
     assert len(buck) > 0
     for r in buck:
         assert r.nb >= 90 and r.cb < 90  # batch probes, corpus archive
+
+
+def test_partitioned_sink_roundtrip_prunes_partitions(spark, tmp_path):
+    # the production triple/corpus layout story: write partitioned by a
+    # low-cardinality column, and a reader filtering on it must touch only
+    # that partition's files (PartitionFilters at the scan, not a post-scan
+    # Filter over everything)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").parquet(out)
+    rd = spark.read.parquet(out).filter(F.col("lang") == "de").select("doc_id")
+    plan = _plan(rd)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("lang" in ln for ln in pf)
+    assert rd.count() == docs.filter(F.col("lang") == "de").count()
