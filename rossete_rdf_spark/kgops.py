@@ -566,3 +566,40 @@ def kg_group_concat_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(langs).alias("n_langs"),
         )
     )
+
+
+def kg_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance ROUND TRIP: apply kg_triples_delta's (add/del)
+    stream to the OLD snapshot and return the reconstructed NEW snapshot —
+    proving, in-band against an oracle that materialises the new snapshot
+    directly, that delta-apply is lossless (the MERGE step of the
+    incremental pipeline; kg_triples_delta only proves the diff).
+
+    Same single-shuffle algebra as the diff: old(+1) ++ dels(-1) ++ adds(+1)
+    into ONE hash aggregate on (subj, pred, obj), keep sum > 0. All three
+    inputs are duplicate-free by construction, so counts stay in {-1,0,1,2}
+    and no join — let alone a per-key sort — is needed; at 10^12 triples
+    this is exactly the snapshot-compaction job an incremental KG store runs,
+    map-side combinable end to end. The delta is recomputed from its
+    definition (two tagged materialisations), so the whole chain
+    old -> delta -> apply is exercised, not a cached delta table."""
+    from .textops.quality import split_bucket
+
+    docs = _docs(spark, sf_dir)
+    bucket = split_bucket(F.col("doc_id"), DELTA_SEED)
+    t_old = doc_triples_from(docs.filter(bucket < DELTA_OLD_BELOW))
+    delta = kg_triples_delta(spark, sf_dir)
+    signed = (
+        t_old.withColumn("_d", F.lit(1))
+        .unionByName(
+            delta.select(
+                "subj",
+                "pred",
+                "obj",
+                F.when(F.col("op") == "add", F.lit(1)).otherwise(F.lit(-1)).alias("_d"),
+            )
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(F.sum("_d").alias("_n"))
+    )
+    return signed.filter(F.col("_n") > 0).select("subj", "pred", "obj")

@@ -1588,3 +1588,10 @@ FROM events v JOIN events c
  AND v.event_type = 'view' AND c.event_type = 'click'
  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
 """
+
+# delta-apply round trip: the reconstructed snapshot IS the new slice's
+# direct materialisation — the oracle materialises it directly
+ORACLES["kg_apply_delta"] = f"""
+WITH {_triples_ctes("new", f"{_DELTA_BUCKET} >= {DELTA_DROP_BELOW}")}
+SELECT subj, pred, obj FROM t_new
+"""

@@ -121,6 +121,7 @@ QUERIES: dict[str, QueryFn] = {
     "kg_predicate_stats": kgops.kg_predicate_stats,
     "kg_bgp_entity_lang": kgops.kg_bgp_entity_lang,
     "kg_triples_delta": kgops.kg_triples_delta,
+    "kg_apply_delta": kgops.kg_apply_delta,
     # SPARQL algebra over the triple table (OPTIONAL / NOT EXISTS / DESCRIBE)
     "kg_optional_mentions": kgops.kg_optional_mentions,
     "kg_not_exists": kgops.kg_not_exists,

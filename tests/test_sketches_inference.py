@@ -152,3 +152,29 @@ def test_partitioned_sink_roundtrip_prunes_partitions(spark, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("lang" in ln for ln in pf)
     assert rd.count() == docs.filter(F.col("lang") == "de").count()
+
+
+def test_incremental_neardup_equals_cross_split_slice_of_full_join(spark):
+    # with the hot-bucket cap OFF on both ops, the incremental batch-vs-
+    # corpus join must produce EXACTLY the cross-split slice of the full
+    # self-join (same bands, same keys — only the pairing universe differs)
+    from rossete_rdf_spark.textops.dedup import (
+        incremental_minhash_neardup,
+        minhash_lsh_pairs,
+    )
+    from rossete_rdf_spark.textops.quality import split_bucket
+
+    docs = _docs(spark)
+    inc = {
+        (r.new_id, r.corpus_id, r.n_bands)
+        for r in incremental_minhash_neardup(docs, max_bucket=None).collect()
+    }
+    full = minhash_lsh_pairs(docs, max_bucket=None).withColumn(
+        "ba", split_bucket(F.col("id_a"))
+    ).withColumn("bb", split_bucket(F.col("id_b")))
+    cross = set()
+    for r in full.collect():
+        if (r.ba >= 90) != (r.bb >= 90):
+            new, old = (r.id_a, r.id_b) if r.ba >= 90 else (r.id_b, r.id_a)
+            cross.add((new, old, r.n_bands))
+    assert inc == cross and len(inc) > 0
