@@ -1595,3 +1595,37 @@ ORACLES["kg_apply_delta"] = f"""
 WITH {_triples_ctes("new", f"{_DELTA_BUCKET} >= {DELTA_DROP_BELOW}")}
 SELECT subj, pred, obj FROM t_new
 """
+
+# scalar quantization: symmetric [-127, 127] codes on the L2-normalized
+# vector (the cosine-metric scheme), PURE INTEGER dot-product ranking;
+# exact cosine rides along
+from .textops.ann import SQ_SCALE  # noqa: E402
+
+_SQ_NORM = (
+    "sqrt(list_reduce([embedding[i]::DOUBLE * embedding[i]::DOUBLE "
+    "for i in range(1, len(embedding) + 1)], (x, y) -> x + y))"
+)
+_SQ_CODE = (
+    "CASE WHEN nrm > 0 THEN "
+    f"[CAST(floor(embedding[i]::DOUBLE / nrm * {float(SQ_SCALE)!r} + 0.5) AS BIGINT) "
+    "for i in range(1, len(embedding) + 1)] "
+    "ELSE [0::BIGINT for i in range(1, len(embedding) + 1)] END"
+)
+
+ORACLES["ann_sq8_topk"] = f"""
+WITH staged AS (SELECT vec_id, embedding, {_SQ_NORM} AS nrm FROM embeddings),
+coded AS (SELECT vec_id, embedding, {_SQ_CODE} AS codes FROM staged),
+q AS (SELECT vec_id AS query_id, embedding AS qv, codes AS qc FROM coded WHERE vec_id < 10),
+c AS (SELECT vec_id AS cand_id, embedding AS cv, codes AS cc FROM coded),
+scored AS (
+  SELECT query_id, cand_id,
+         list_reduce([qc[i] * cc[i] for i in range(1, len(qc) + 1)],
+                     (x, y) -> x + y)::BIGINT AS score_q8,
+         {_COS} AS sim_exact
+  FROM q, c WHERE query_id <> cand_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_q8 DESC, cand_id) AS rk
+  FROM scored)
+SELECT query_id, cand_id, score_q8, sim_exact, rk::BIGINT AS rk
+FROM ranked WHERE rk <= 5
+"""

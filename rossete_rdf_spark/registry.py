@@ -27,6 +27,7 @@ from .streaming.events import (
 )
 from .textops import (
     ann_cosine_topk,
+    ann_sq8_topk,
     heavy_hitters_cms,
     sketch_distinct_kmv,
     clean_corpus,
@@ -112,6 +113,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_ivf_topk": _emb_op(ann_ivf_topk),
     "ann_ivf_nprobe_topk": _emb_op(ann_ivf_nprobe_topk),
     "ann_ivf_kmeans_topk": _emb_op(ann_ivf_kmeans_topk),
+    "ann_sq8_topk": _emb_op(ann_sq8_topk),
     "embedding_neardup_pairs": _emb_op(embedding_neardup_pairs),
     # KG construction (batch face)
     "kg_mentions": kgops.kg_mentions,

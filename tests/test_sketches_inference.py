@@ -178,3 +178,17 @@ def test_incremental_neardup_equals_cross_split_slice_of_full_join(spark):
             new, old = (r.id_a, r.id_b) if r.ba >= 90 else (r.id_b, r.id_a)
             cross.add((new, old, r.n_bands))
     assert inc == cross and len(inc) > 0
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    # int8-quantized ranking must mostly agree with exact cosine: measure
+    # top-5 recall against ann_cosine_topk over the same corpus
+    from rossete_rdf_spark.textops.ann import ann_cosine_topk, ann_sq8_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {(r.query_id, r.cand_id) for r in ann_cosine_topk(emb).collect()}
+    sq8 = {(r.query_id, r.cand_id) for r in ann_sq8_topk(emb).collect()}
+    assert len(exact) > 0 and len(sq8) == len(exact)
+    recall = len(exact & sq8) / len(exact)
+    # symmetric normalized int8 keeps ~127^2*cosine ordering (measured 0.98)
+    assert recall >= 0.9, recall
