@@ -1629,3 +1629,22 @@ ranked AS (
 SELECT query_id, cand_id, score_q8, sim_exact, rk::BIGINT AS rk
 FROM ranked WHERE rk <= 5
 """
+
+from .textops.webclean import BLOCKED_DOMAINS  # noqa: E402
+
+_BL_RULES = ", ".join(f"'{r}'" for r in BLOCKED_DOMAINS)
+
+ORACLES["doc_domain_blocklist"] = f"""
+WITH u AS (SELECT doc_id, {_DIRTY_URL} AS url FROM documents),
+h AS (SELECT doc_id,
+             regexp_replace(lower(regexp_extract(url, '://([^/?#]*)', 1)),
+                            ':[0-9]+$', '') AS host
+      FROM u),
+l AS (SELECT doc_id, host, string_split(host, '.') AS labels FROM h),
+s AS (SELECT doc_id, host,
+             unnest([array_to_string(labels[i:], '.')
+                     for i in range(1, len(labels) + 1)]) AS suffix
+      FROM l),
+r AS (SELECT unnest([{_BL_RULES}]) AS rule)
+SELECT doc_id, host, rule FROM s JOIN r ON s.suffix = r.rule
+"""

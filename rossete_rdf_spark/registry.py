@@ -28,6 +28,7 @@ from .streaming.events import (
 from .textops import (
     ann_cosine_topk,
     ann_sq8_topk,
+    domain_blocklist,
     heavy_hitters_cms,
     sketch_distinct_kmv,
     clean_corpus,
@@ -104,6 +105,7 @@ QUERIES: dict[str, QueryFn] = {
     # web-corpus cleaning (URL canonicalization + PII scrub)
     "doc_url_dedup": _docs_op(url_dedup),
     "doc_pii_redact": _docs_op(pii_redact),
+    "doc_domain_blocklist": _docs_op(domain_blocklist),
     # fixed-memory sketches (KMV distinct estimate, count-min heavy hitters)
     "sketch_distinct_kmv": _docs_op(sketch_distinct_kmv),
     "heavy_hitters_cms": _docs_op(heavy_hitters_cms),

@@ -22,6 +22,7 @@ from .sketches import (  # noqa: F401
     sketch_distinct_kmv,
 )
 from .webclean import (  # noqa: F401
+    domain_blocklist,
     pii_redact,
     url_dedup,
 )

@@ -126,3 +126,45 @@ def pii_redact(docs: DataFrame) -> DataFrame:
             F.regexp_replace(pii, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
         ).alias("redacted"),
     )
+
+
+# registrable domains whose entire subtree is banned (spam/SEO-farm tier)
+BLOCKED_DOMAINS = ("src3.example.com", "src15.example.com")
+
+
+def domain_blocklist(docs: DataFrame) -> DataFrame:
+    """(doc_id, host, rule) — documents whose URL host is a blocked domain
+    or ANY subdomain of one (www.src3.example.com is caught by the
+    src3.example.com rule), the standard domain-reputation gate a web
+    pipeline runs before spending tokenization on a page.
+
+    Subdomain semantics WITHOUT a LIKE/suffix scan: each host explodes into
+    its dot-suffixes (label count is bounded — public hosts have a handful
+    of labels), and the suffixes equi-join the broadcast rule list. That
+    keeps the match a hash join a 10^12-page scan can fuse — never a
+    host-x-rules nested-loop with endswith, which is what a naive
+    `host LIKE '%' || rule` plan degenerates to. Runs on the RAW (pre-
+    canonicalization) host on purpose: reputation filtering must see the
+    page exactly as crawled, before www-stripping folds hosts together."""
+    url = synthetic_url(F.col("doc_id"), F.col("source"), F.col("lang"))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, "://([^/?#]*)", 1)), ":[0-9]+$", ""
+    )
+    staged = docs.select(
+        "doc_id", host.alias("host"), F.split(host, "[.]").alias("labels")
+    )
+    suffixes = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("labels")) - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("labels"), i + 1, F.size(F.col("labels")) - i), "."
+        ),
+    )
+    exploded = staged.select(
+        "doc_id", "host", F.explode(suffixes).alias("suffix")
+    )
+    rules = docs.sparkSession.createDataFrame(
+        [(r,) for r in BLOCKED_DOMAINS], "rule string"
+    )
+    return exploded.join(
+        F.broadcast(rules), F.col("suffix") == F.col("rule")
+    ).select("doc_id", "host", "rule")
