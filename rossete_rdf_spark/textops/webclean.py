@@ -150,8 +150,11 @@ def domain_blocklist(docs: DataFrame) -> DataFrame:
     host = F.regexp_replace(
         F.lower(F.regexp_extract(url, "://([^/?#]*)", 1)), ":[0-9]+$", ""
     )
-    staged = docs.select(
-        "doc_id", host.alias("host"), F.split(host, "[.]").alias("labels")
+    # host staged as a column before it is referenced twice (output + split):
+    # the repo's tokenize-once convention — don't rely on codegen
+    # subexpression elimination to dedupe the regex-over-concat chain
+    staged = docs.select("doc_id", host.alias("host")).select(
+        "doc_id", "host", F.split(F.col("host"), "[.]").alias("labels")
     )
     suffixes = F.transform(
         F.sequence(F.lit(0), F.size(F.col("labels")) - 1),

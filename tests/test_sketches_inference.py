@@ -126,7 +126,10 @@ def test_hopping_agg_events_land_in_exactly_two_windows(spark):
 
 
 def test_incremental_neardup_ids_respect_the_split(spark):
-    from rossete_rdf_spark.textops.dedup import incremental_minhash_neardup
+    from rossete_rdf_spark.textops.dedup import (
+        INCREMENTAL_BATCH_BUCKET,
+        incremental_minhash_neardup,
+    )
     from rossete_rdf_spark.textops.quality import split_bucket
 
     out = incremental_minhash_neardup(_docs(spark))
@@ -136,7 +139,8 @@ def test_incremental_neardup_ids_respect_the_split(spark):
     ).collect()
     assert len(buck) > 0
     for r in buck:
-        assert r.nb >= 90 and r.cb < 90  # batch probes, corpus archive
+        # batch probes, corpus archive
+        assert r.nb >= INCREMENTAL_BATCH_BUCKET and r.cb < INCREMENTAL_BATCH_BUCKET
 
 
 def test_partitioned_sink_roundtrip_prunes_partitions(spark, tmp_path):
@@ -159,6 +163,7 @@ def test_incremental_neardup_equals_cross_split_slice_of_full_join(spark):
     # corpus join must produce EXACTLY the cross-split slice of the full
     # self-join (same bands, same keys — only the pairing universe differs)
     from rossete_rdf_spark.textops.dedup import (
+        INCREMENTAL_BATCH_BUCKET as BB,
         incremental_minhash_neardup,
         minhash_lsh_pairs,
     )
@@ -174,8 +179,8 @@ def test_incremental_neardup_equals_cross_split_slice_of_full_join(spark):
     ).withColumn("bb", split_bucket(F.col("id_b")))
     cross = set()
     for r in full.collect():
-        if (r.ba >= 90) != (r.bb >= 90):
-            new, old = (r.id_a, r.id_b) if r.ba >= 90 else (r.id_b, r.id_a)
+        if (r.ba >= BB) != (r.bb >= BB):
+            new, old = (r.id_a, r.id_b) if r.ba >= BB else (r.id_b, r.id_a)
             cross.add((new, old, r.n_bands))
     assert inc == cross and len(inc) > 0
 
