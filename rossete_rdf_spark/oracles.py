@@ -1648,3 +1648,58 @@ s AS (SELECT doc_id, host,
 r AS (SELECT unnest([{_BL_RULES}]) AS rule)
 SELECT doc_id, host, rule FROM s JOIN r ON s.suffix = r.rule
 """
+
+# product quantization / ADC: sampled codebook (subvectors of vec_id <
+# PQ_CODES), per-subspace argmin encode (d, cid ordered), per-query flat
+# LUT in (m, cid) order, score = fixed-ascending-m fold through the LUT
+from .textops.ann import PQ_CODES, PQ_DSUB, PQ_M  # noqa: E402
+
+_PQ_L2 = (
+    "list_reduce([(xv[i]::DOUBLE - sv[i]::DOUBLE) * (xv[i]::DOUBLE - sv[i]::DOUBLE) "
+    f"for i in range(1, {PQ_DSUB} + 1)], (x, y) -> x + y)"
+)
+_PQ_QDOT = (
+    f"list_reduce([qv[m * {PQ_DSUB} + i]::DOUBLE * sv[i]::DOUBLE "
+    f"for i in range(1, {PQ_DSUB} + 1)], (x, y) -> x + y)"
+)
+
+ORACLES["ann_pq_adc_topk"] = f"""
+WITH staged AS (SELECT vec_id, embedding, {_SQ_NORM} AS nrm FROM embeddings),
+nvt AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0
+              THEN [embedding[i]::DOUBLE / nrm for i in range(1, len(embedding) + 1)]
+              ELSE [0.0 for i in range(1, len(embedding) + 1)] END AS embedding
+  FROM staged),
+cb AS (
+  SELECT m, vec_id AS cid, embedding[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS sv
+  FROM nvt, range({PQ_M}) t(m) WHERE vec_id < {PQ_CODES}),
+sub AS (
+  SELECT vec_id AS cand_id, m, embedding[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS xv
+  FROM nvt, range({PQ_M}) t(m)),
+dists AS (
+  SELECT cand_id, sub.m AS m, cid, {_PQ_L2} AS d
+  FROM sub JOIN cb ON sub.m = cb.m),
+enc AS (
+  SELECT cand_id, m, cid FROM
+    (SELECT *, row_number() OVER (PARTITION BY cand_id, m ORDER BY d, cid) AS rn
+     FROM dists)
+  WHERE rn = 1),
+codes AS (SELECT cand_id, list(cid ORDER BY m) AS codes FROM enc GROUP BY 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM nvt WHERE vec_id < 10),
+lutr AS (SELECT query_id, m, cid, {_PQ_QDOT} AS val FROM q, cb),
+lut AS (SELECT query_id, list(val ORDER BY m, cid) AS lut FROM lutr GROUP BY 1),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM nvt),
+scored AS (
+  SELECT query_id, cand_id,
+         list_reduce([lut[m * {PQ_CODES} + codes[m + 1] + 1]
+                      for m in range(0, {PQ_M})], (x, y) -> x + y) AS score_pq,
+         {_COS} AS sim_exact
+  FROM q JOIN lut USING (query_id), codes JOIN c USING (cand_id)
+  WHERE query_id <> cand_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_pq DESC, cand_id) AS rk
+  FROM scored)
+SELECT query_id, cand_id, round(score_pq, 6) AS score_pq, sim_exact, rk::BIGINT AS rk
+FROM ranked WHERE rk <= 5
+"""

