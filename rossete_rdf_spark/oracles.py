@@ -32,7 +32,7 @@ from .kgops import CONSTRUCT_MIN_DOCS as KG_CONSTRUCT_MIN_DOCS
 from .pipeline.pagedup import MAX_BUCKET as PAGE_MAX_BUCKET
 from .pipeline.pagedup import MIN_BANDS as PAGE_MIN_BANDS
 from .pipeline.pagedup import NEAR_DUP_JACCARD as PAGE_NEAR_DUP_JACCARD
-from .relops import FUNNEL_WINDOW_HOURS, RANGE_SLOTS
+from .relops import FUNNEL_WINDOW_HOURS, HIST_BINS, HIST_WIDTH_CENTS, RANGE_SLOTS
 from .relops import Z_THRESHOLD as REL_Z_THRESHOLD
 from .textops.ann import EMB_NEARDUP_THRESHOLD, IVF_NPROBE, KMEANS_ITERS
 from .textops.common import sql_ngrams, sql_pos_grams, sql_words
@@ -620,6 +620,18 @@ SELECT tag, count(*)::BIGINT AS n_items, round(sum(l_quantity), 2) AS sum_qty
 FROM fact JOIN dim USING (k) GROUP BY 1
 """
 
+# the salt/replication is an implementation detail — the manual-salting twin
+# of the AQE demo reproduces the identical plain join + aggregate
+ORACLES["rel_salted_join"] = ORACLES["rel_skew_join_agg"]
+
+# bucketing is pure physical layout — the oracle is the plain join
+ORACLES["rel_bucketed_join"] = """
+SELECT c_mktsegment, o_orderstatus, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY 1, 2
+"""
+
 # as-of join: the oracle pairs each purchase with its most recent prior
 # click via an inequality join + row_number — O(|L|x|R|) per key, fine at
 # oracle scale; the Spark side is the single-shuffle union-and-carry plan.
@@ -675,6 +687,21 @@ r AS (SELECT *, row_number() OVER (PARTITION BY grp
                                    ORDER BY score DESC, event_id DESC) AS rk
       FROM fact)
 SELECT grp, event_id, user_id, score, rk::BIGINT AS rk FROM r WHERE rk <= 5
+"""
+
+_HIST_W = HIST_WIDTH_CENTS / 100.0
+ORACLES["events_value_histogram"] = f"""
+WITH q AS (SELECT event_type,
+                  least(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          // {HIST_WIDTH_CENTS},
+                        {HIST_BINS - 1})::INTEGER AS bin,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT event_type, bin,
+       bin * {_HIST_W!r} AS bin_lo, (bin + 1) * {_HIST_W!r} AS bin_hi,
+       count(*)::BIGINT AS n_events,
+       round(sum(cents) / 100.0, 2) AS sum_value
+FROM q GROUP BY 1, 2
 """
 
 ORACLES["events_value_quantiles"] = """
@@ -1422,6 +1449,9 @@ from .textops.sketches import (  # noqa: E402
     CMS_DEPTH,
     CMS_TOP,
     CMS_WIDTH,
+    HLL_M,
+    HLL_NUMER,
+    HLL_W_BITS,
     KMV_K,
 )
 
@@ -1469,6 +1499,42 @@ SELECT probes.tok AS token, probes.exact_count,
        min(cell_sum)::BIGINT AS cms_estimate
 FROM probes JOIN cells USING (r, b)
 GROUP BY 1, 2
+"""
+
+# HLL: the register sum is replayed in exact integer arithmetic (terms
+# 1::BIGINT << (52 - mj), never-hit registers contribute 2^52 in closed
+# form); rho comes from length(bin(w)) — DuckDB's bin() is the same minimal
+# binary form as Spark's; the numerator literal is the SAME Python float as
+# the Spark side's HLL_NUMER. ln() ulp absorbed by the 4-dp round.
+_HLL_EST_RAW = f"{HLL_NUMER!r} / CAST(z_int AS DOUBLE)"
+_HLL_EST = f"""CASE WHEN ({_HLL_EST_RAW}) <= {2.5 * HLL_M!r}
+            AND ({HLL_M} - n_present) > 0
+       THEN {float(HLL_M)!r}
+            * ln({float(HLL_M)!r} / CAST({HLL_M} - n_present AS DOUBLE))
+       ELSE ({_HLL_EST_RAW}) END"""
+
+ORACLES["sketch_distinct_hll"] = f"""
+WITH h AS (SELECT DISTINCT {_TOK_HASH} AS h FROM {_SHINGLES}),
+regs AS (
+  SELECT h >> {HLL_W_BITS} AS reg,
+         max(CASE WHEN (h & {(1 << HLL_W_BITS) - 1}) = 0 THEN {HLL_W_BITS + 1}
+                  ELSE {HLL_W_BITS + 1}
+                       - length(bin(h & {(1 << HLL_W_BITS) - 1})) END) AS mj
+  FROM h GROUP BY 1),
+s AS (SELECT count(*)::BIGINT AS n_present,
+             sum(1::BIGINT << (52 - mj))::BIGINT AS z_present
+      FROM regs),
+z AS (SELECT n_present,
+             z_present + ({HLL_M} - n_present) * (1::BIGINT << 52) AS z_int
+      FROM s),
+c AS (SELECT count(*)::BIGINT AS exact_distinct FROM h)
+SELECT {HLL_M}::INTEGER AS m,
+       ({HLL_M} - n_present)::BIGINT AS n_zero_registers,
+       round({_HLL_EST}, 4) AS est_distinct,
+       exact_distinct,
+       round(abs(round({_HLL_EST}, 4) - exact_distinct)
+             / CAST(exact_distinct AS DOUBLE) * 100.0, 2) AS rel_err_pct
+FROM z, c
 """
 
 # --- RDFS inference + SHACL validation ---------------------------------------
@@ -1587,6 +1653,13 @@ FROM events v JOIN events c
   ON v.user_id = c.user_id
  AND v.event_type = 'view' AND c.event_type = 'click'
  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+# stream-static enrichment join == the batch equi-join under a single
+# availableNow micro-batch (stateless: no watermark, nothing dropped)
+ORACLES["streaming_static_join"] = """
+SELECT event_id, user_id, event_type, c_mktsegment AS mktsegment, value
+FROM events JOIN customer ON user_id = c_custkey
 """
 
 # delta-apply round trip: the reconstructed snapshot IS the new slice's

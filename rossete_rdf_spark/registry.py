@@ -24,6 +24,7 @@ from .streaming.events import (
     streaming_hourly_agg_query,
     streaming_interval_join_query,
     streaming_sessionize_query,
+    streaming_static_join_query,
 )
 from .textops import (
     ann_cosine_topk,
@@ -31,6 +32,7 @@ from .textops import (
     ann_sq8_topk,
     domain_blocklist,
     heavy_hitters_cms,
+    sketch_distinct_hll,
     sketch_distinct_kmv,
     clean_corpus,
     decontaminate,
@@ -107,8 +109,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_url_dedup": _docs_op(url_dedup),
     "doc_pii_redact": _docs_op(pii_redact),
     "doc_domain_blocklist": _docs_op(domain_blocklist),
-    # fixed-memory sketches (KMV distinct estimate, count-min heavy hitters)
+    # fixed-memory sketches (KMV/HLL distinct estimates, count-min heavy hitters)
     "sketch_distinct_kmv": _docs_op(sketch_distinct_kmv),
+    "sketch_distinct_hll": _docs_op(sketch_distinct_hll),
     "heavy_hitters_cms": _docs_op(heavy_hitters_cms),
     # similarity search + embedding-tier dedup
     "ann_cosine_topk": _emb_op(ann_cosine_topk),
@@ -148,6 +151,8 @@ QUERIES: dict[str, QueryFn] = {
     "rel_first_match_join": relops.rel_first_match_join,
     "rel_runtime_filter_join": relops.rel_runtime_filter_join,
     "rel_skew_join_agg": relops.rel_skew_join_agg,
+    "rel_salted_join": relops.rel_salted_join,
+    "rel_bucketed_join": relops.rel_bucketed_join,
     "events_asof_join": relops.events_asof_join,
     "events_asof_join_bucketed": relops.events_asof_join_bucketed,
     "events_range_join": relops.events_range_join,
@@ -157,6 +162,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_top_spenders": relops.events_top_spenders,
     "events_top_spenders_salted": relops.events_top_spenders_salted,
     "events_value_quantiles": relops.events_value_quantiles,
+    "events_value_histogram": relops.events_value_histogram,
     "events_anomaly_zscore": relops.events_anomaly_zscore,
     "mention_counts_salted": relops.mention_counts_salted,
     "events_rollup": relops.events_rollup,
@@ -171,6 +177,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_hourly_agg": streaming_hourly_agg_query,
     "streaming_dedup": streaming_dedup_query,
     "streaming_interval_join": streaming_interval_join_query,
+    "streaming_static_join": streaming_static_join_query,
     "streaming_sessionize": streaming_sessionize_query,
     # multimodal binary-column plumbing (mapInPandas feature extraction)
     "multimodal_features": multimodal_features_query,

@@ -363,6 +363,130 @@ def rel_skew_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALTED_JOIN_REP = 8
+
+
+def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MANUAL hub-join mitigation, beside rel_skew_join_agg's AQE one:
+    the same hub-skewed fact key (75% of lineitem rows collapse onto key 0)
+    joined to the same key-unique dim, but the skew is handled by explicit
+    salting — fact rows get a content-derived salt in [0, REP), the dim is
+    replicated REP times, and the join runs on (k, salt), so the hub key's
+    rows spread over REP reducers instead of landing on one.
+
+    Why keep both: AQE skew splitting only fires when its plan-shape rules
+    hold (see rel_skew_join_agg's two empirically-discovered constraints)
+    and only at MAP-output granularity; salting works for any plan shape,
+    any engine, and inside Structured Streaming where AQE does not apply.
+    The cost is explicit: the dim side is shuffled/stored REP times, so REP
+    trades reducer balance against dim duplication — at 100 TB you salt the
+    handful of known-hub keys, not the whole table (here the whole table is
+    salted because the demo dim is 25% of orders; the per-key variant is a
+    broadcast [key -> n_salts] map in the salt expression).
+
+    The salt is _row_salt (xxhash64 over every fact column): content-derived
+    so it survives repartitioning, row-distinct so duplicate quantities on
+    the hub key still spread. Correctness never depends on it — the oracle
+    is the plain join + aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    skew_key = F.when(F.col("l_orderkey") % 4 != 0, F.lit(0)).otherwise(
+        F.col("l_orderkey")
+    )
+    base = li.select(skew_key.alias("k"), "l_quantity")
+    fact = base.withColumn("_salt", _row_salt(base, SALTED_JOIN_REP))
+    dim = (
+        orders.filter((F.col("o_orderkey") % 4 == 0) & (F.col("o_orderkey") > 0))
+        .select(F.col("o_orderkey").alias("k"))
+        .unionByName(spark.range(1).select(F.lit(0).cast("long").alias("k")))
+        .withColumn("tag", F.concat(F.lit("grp"), (F.col("k") % 3).cast("string")))
+        .withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(i).cast("long") for i in range(SALTED_JOIN_REP)])),
+        )
+    )
+    return (
+        fact.join(dim, ["k", "_salt"])
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+BUCKETED_JOIN_BUCKETS = 8
+
+
+def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free co-located join via BUCKETED tables — the third leg of
+    the repo's shuffle-elimination story (broadcast for small dims, AQE/salt
+    for skew, bucketing for big-x-big repeated joins). orders and customer
+    are written once as bucketed+sorted tables on the join key; the join of
+    the bucketed reads then needs NO Exchange on either side (plan-asserted
+    in tests/test_plans.py): each bucket pair sort-merges locally. At 100 TB
+    this is the layout you pay for once at ingest and amortize over every
+    downstream join/aggregate on the key — the Spark-native analogue of the
+    co-partitioned table layouts warehouse engines keep.
+
+    Mechanics that make it actually exchange-free:
+    - repartition(BUCKETS, key) BEFORE the write: bucketed writes assign
+      rows to buckets with the same Murmur3 pmod hash repartition uses, so
+      each task holds exactly one bucket and writes ONE file per bucket —
+      the one-file-per-bucket layout that lets the sorted-bucket read skip
+      the per-partition Sort too;
+    - both sides bucketed to the SAME count (Spark only aligns equal bucket
+      counts without an exchange);
+    - the broadcast threshold is NOT scoped here: broadcast selection is an
+      execution-time (AQE) decision, so the memoize-inside idiom cannot pin
+      it — at fixture scale customer is broadcast-sized and AQE may take
+      the (equally exchange-free) broadcast plan. The bucketed-SMJ shape is
+      pinned in tests/test_plans.py with the hold-past-action idiom and
+      BOTH broadcast thresholds (static + adaptive) held at -1.
+
+    The tables are EXTERNAL (explicit path under /tmp keyed by the Spark
+    application id) so the query never depends on spark.sql.warehouse.dir,
+    and mode('overwrite') makes reruns in one session idempotent. The only
+    Exchange in the whole plan is the final aggregate's.
+
+    Oracle: the plain customer x orders join + aggregate."""
+    base = f"/tmp/rossete_bucketed/{spark.sparkContext.applicationId}"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    (
+        orders.repartition(BUCKETED_JOIN_BUCKETS, "o_custkey")
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(BUCKETED_JOIN_BUCKETS, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{base}/orders")
+        .saveAsTable("bj_orders")
+    )
+    (
+        customer.repartition(BUCKETED_JOIN_BUCKETS, "c_custkey")
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(BUCKETED_JOIN_BUCKETS, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{base}/customer")
+        .saveAsTable("bj_customer")
+    )
+    bo = spark.table("bj_orders")
+    bc = spark.table("bj_customer")
+    return (
+        bc.join(bo, bc["c_custkey"] == bo["o_custkey"])
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each purchase event, the most recent click by the same user at or
     before the purchase (attribution-style as-of join). Timestamps are
@@ -658,6 +782,51 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+HIST_BINS = 10
+HIST_WIDTH_CENTS = 5000  # 50.00-wide bins over value in [0, 500)
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, bin, bin_lo, bin_hi, n_events, sum_value) — fixed-bin
+    value histogram per event type, the UNBOUNDED-cardinality companion to
+    events_value_quantiles: the exact percentile aggregate buffers each
+    group's values (fine for bounded groups), while a fixed-bin histogram
+    is ONE map-side-combinable hash aggregate over at most types x BINS
+    keys — constant state per task at any corpus size, and mergeable
+    across shards (cell-wise add), which is why monitoring pipelines ship
+    histograms and derive approximate quantiles from them.
+
+    Bin assignment runs on integer cents (the events_anomaly_zscore
+    quantization: floor(value*100 + 0.5)) with integer division by the
+    bin width — no float boundary anywhere, so a value landing exactly on
+    a bin edge bins identically in both engines. The top bin is open
+    (least(.., BINS-1)) so outliers never drop. sum_value recomposes from
+    the exact integer cents sum."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "cents", F.floor(F.col("value") * 100 + 0.5).cast("long")
+    )
+    # true integer division (Spark `div`, DuckDB `//`): never a float
+    b = F.least(
+        F.expr(f"cents div {HIST_WIDTH_CENTS}").cast("int"),
+        F.lit(HIST_BINS - 1),
+    )
+    return (
+        ev.groupBy("event_type", b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("cents") / 100.0, 2).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * (HIST_WIDTH_CENTS / 100.0)).alias("bin_lo"),
+            ((F.col("bin") + 1) * (HIST_WIDTH_CENTS / 100.0)).alias("bin_hi"),
+            "n_events",
+            "sum_value",
+        )
     )
 
 

@@ -303,3 +303,41 @@ def streaming_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame
     join emits final rows only)."""
     out = streaming_interval_join(_events_stream(spark, sf_dir))
     return _run_to_memory_sink(spark, out, "ssjoin", "append")
+
+
+def streaming_static_join(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """STATELESS stream-static enrichment join: each event row picks up its
+    user's market segment from a static (batch) dimension — the canonical
+    "enrich the live stream with a slowly-changing dim" shape, and the
+    third streaming-join face beside the watermarked stream-stream interval
+    join and the stateful sessionizer.
+
+    Why it's the cheap one: the static side is not a stream, so there is NO
+    join state to bound and NO watermark required — Spark re-plans the
+    static side every micro-batch (which is also the refresh hook: a dim
+    TABLE re-read per batch picks up slowly-changing updates). The explicit
+    broadcast keeps each micro-batch a map-only stage over the arriving
+    events — no shuffle of the stream at all. A dim too big to broadcast
+    flips this to a shuffled join per batch; at that size pre-bucket the
+    dim on the key (rel_bucketed_join's layout) so only the small batch
+    side shuffles.
+
+    Under availableNow on one file the whole stream arrives in one batch,
+    so the appended output equals the batch equi-join — full DuckDB oracle."""
+    ev = events.select("event_id", "user_id", "event_type", "value")
+    d = dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return ev.join(F.broadcast(d), "user_id").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("c_mktsegment").alias("mktsegment"),
+        "value",
+    )
+
+
+def streaming_static_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: readStream events x static customer dim ->
+    memory sink (append; stateless, so every row is final on arrival)."""
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = streaming_static_join(_events_stream(spark, sf_dir), dim)
+    return _run_to_memory_sink(spark, out, "ststatic", "append")

@@ -20,6 +20,7 @@ from .dedup import (  # noqa: F401
 )
 from .sketches import (  # noqa: F401
     heavy_hitters_cms,
+    sketch_distinct_hll,
     sketch_distinct_kmv,
 )
 from .webclean import (  # noqa: F401

@@ -48,6 +48,14 @@ CMS_DEPTH = 3
 CMS_WIDTH = 1024
 CMS_TOP = 20
 
+HLL_P = 9  # 2^9 = 512 registers; std err ~ 1.04/sqrt(512) = 4.6%
+HLL_M = 1 << HLL_P
+HLL_W_BITS = 60 - HLL_P  # 51-bit register word -> rho in [1, 52]
+# alpha_m * m^2 * 2^52 precomputed in Python and embedded as the SAME
+# literal in both engines (the estimator numerator is a constant)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(1 << 52)
+
 
 def _hash60(col) -> F.Column:
     """Unseeded portable 60-bit hash; DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT."""
@@ -98,6 +106,79 @@ def sketch_distinct_kmv(docs: DataFrame) -> DataFrame:
             F.lit(KMV_K).cast("int").alias("k"),
             "kth_min_hash",
             est.alias("est_distinct"),
+            "exact_distinct",
+        )
+        .withColumn(
+            "rel_err_pct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct").cast("double")
+                * 100.0,
+                2,
+            ),
+        )
+    )
+
+
+def sketch_distinct_hll(docs: DataFrame) -> DataFrame:
+    """One row: (m, n_zero_registers, est_distinct, exact_distinct,
+    rel_err_pct) — the HyperLogLog estimate of the corpus's distinct
+    3-gram-shingle count next to its exact twin. Completes the sketch
+    family: KMV is the bounded-HEAP estimator, HLL is the bounded-REGISTER
+    one — m fixed registers that merge cell-wise max across corpus shards
+    (the same mergeable-state shape as the CMS cells), which is why HLL is
+    what production engines actually ship for 10^12-row distinct counts.
+
+    Flajolet et al. 2007: split the 60-bit hash into a register index
+    (top HLL_P bits) and a 51-bit word w; the register keeps the max over
+    rho(w) = leading-zeros(w)+1; E = alpha_m * m^2 / sum_j 2^(-M_j), with
+    the small-range linear-counting branch E <= 2.5m & V>0 -> m*ln(m/V).
+
+    Deliberately NOT approx_count_distinct: Spark's HLL++ register layout
+    can't be replayed in another engine. Determinism engineering:
+    - rho via string length of bin(w) (minimal binary form in BOTH engines;
+      verified bin(5)='101' on each) — no float log2 anywhere;
+    - the register sum sum_j 2^(-M_j) is scaled by 2^52 into INTEGER terms
+      shiftleft(1, 52-M_j) and summed as BIGINT: exact and order-independent
+      (a raw double sum over 512 registers would be shuffle-order-dependent);
+      never-hit registers contribute 2^52 each, added in closed form;
+    - the one float division A / Z and the ln() in the linear-counting
+      branch are single IEEE ops on identical inputs; the final 4-dp round
+      absorbs libm ln() ulp (the unigram_logprob convention).
+    """
+    staged = docs.select(words_col(F.col("text")).alias("_ws"))
+    h = (
+        staged.select(F.explode(pos_grams(F.col("_ws"), KMV_NGRAM)).alias("g"))
+        .select(_hash60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    w = F.col("h").bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        h.select(F.shiftright(F.col("h"), HLL_W_BITS).alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("mj"))
+    )
+    summary = regs.agg(
+        F.count(F.lit(1)).alias("_n_present"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 52 - mj)")).alias("_z_present"),
+    )
+    exact = h.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    v = F.lit(HLL_M) - F.col("_n_present")  # never-hit registers
+    z_int = F.col("_z_present") + v.cast("long") * F.lit(1 << 52)
+    est_raw = F.lit(HLL_NUMER) / z_int.cast("double")
+    est = F.when(
+        (est_raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(est_raw)
+    return (
+        summary.crossJoin(exact)
+        .select(
+            F.lit(HLL_M).cast("int").alias("m"),
+            v.cast("long").alias("n_zero_registers"),
+            F.round(est, 4).alias("est_distinct"),
             "exact_distinct",
         )
         .withColumn(

@@ -268,3 +268,49 @@ def test_length_outliers_broadcasts_percentiles(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(length_outliers(docs))
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    # rel_bucketed_join's layout claim: with both sides bucketed+sorted on
+    # the join key, the sort-merge join needs NO Exchange on either input —
+    # the only shuffle in the whole plan is the final aggregate's. Broadcast
+    # is disabled (static + adaptive thresholds) because at fixture scale
+    # AQE would otherwise take the broadcast plan and hide the bucketed SMJ
+    # this test exists to pin.
+    from rossete_rdf_spark.relops import rel_bucketed_join
+    from rossete_rdf_spark.session import scoped_conf
+
+    # hold-past-action: AQE can flip SMJ->BHJ at runtime, so the scope stays
+    # open across the collect
+    with scoped_conf(spark, {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }):
+        df = rel_bucketed_join(spark, SF)
+        # collect() (not count()) so df's OWN AQE plan finalizes
+        assert len(df.collect()) > 0
+        plan = _plan(df)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in final
+        assert "bj_customer" in final and "bj_orders" in final
+        # exactly ONE Exchange (the aggregate's); none feeding the join
+        assert final.count("Exchange") == 1
+
+
+def test_salted_join_matches_plain_join(spark):
+    # the salt/replication must be output-invisible: rel_salted_join's
+    # aggregate equals the plain (unsalted) hub join's, and the join key
+    # carries the salt column so the hub key's rows spread over
+    # SALTED_JOIN_REP reducers
+    from rossete_rdf_spark.relops import rel_salted_join, rel_skew_join_agg
+
+    salted = {
+        r.tag: (r.n_items, r.sum_qty)
+        for r in rel_salted_join(spark, SF_SKEW).collect()
+    }
+    plain = {
+        r.tag: (r.n_items, r.sum_qty)
+        for r in rel_skew_join_agg(spark, SF_SKEW).collect()
+    }
+    assert salted == plain
+    assert salted["grp0"][0] > 5 * salted["grp1"][0]  # the hub is real

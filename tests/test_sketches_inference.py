@@ -212,3 +212,42 @@ def test_pq_adc_topk_recall_vs_exact(spark):
     # 32x2 subspaces, 64 sampled codewords: measured 0.76 on these
     # isotropic (clusterless — PQ's hard case) synthetic embeddings
     assert recall >= 0.6, recall
+
+
+def test_hll_estimate_is_close_and_registers_bounded(spark):
+    from rossete_rdf_spark.textops.sketches import HLL_M, sketch_distinct_hll
+
+    row = sketch_distinct_hll(_docs(spark)).collect()[0]
+    assert row.m == HLL_M
+    # n_distinct >> m at sf0.001 already (~10^4 shingles into 512 registers):
+    # the estimator branch, with essentially no zero registers
+    assert 0 <= row.n_zero_registers < HLL_M
+    assert row.exact_distinct > HLL_M
+    # m=512 registers give ~1.04/sqrt(512) ~ 4.6% standard error; 4 sigma
+    assert abs(row.est_distinct - row.exact_distinct) / row.exact_distinct < 0.2
+
+
+def test_hll_rho_never_exceeds_word_width(spark):
+    # the register value is rho(51-bit word) in [1, 52]; a value outside
+    # that range means the bin()-length arithmetic broke
+    from rossete_rdf_spark.textops.common import pos_grams, words_col
+    from rossete_rdf_spark.textops.sketches import (
+        HLL_W_BITS,
+        KMV_NGRAM,
+        _hash60,
+    )
+
+    h = (
+        _docs(spark)
+        .select(words_col(F.col("text")).alias("w"))
+        .select(F.explode(pos_grams(F.col("w"), KMV_NGRAM)).alias("g"))
+        .select(_hash60(F.col("g")).alias("h"))
+    )
+    w = F.col("h").bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    mm = h.select(rho.alias("r")).agg(
+        F.min("r").alias("lo"), F.max("r").alias("hi")
+    ).collect()[0]
+    assert 1 <= mm.lo and mm.hi <= HLL_W_BITS + 1
