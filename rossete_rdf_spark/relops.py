@@ -384,17 +384,22 @@ def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted because the demo dim is 25% of orders; the per-key variant is a
     broadcast [key -> n_salts] map in the salt expression).
 
-    The salt is _row_salt (xxhash64 over every fact column): content-derived
-    so it survives repartitioning, row-distinct so duplicate quantities on
-    the hub key still spread. Correctness never depends on it — the oracle
-    is the plain join + aggregate."""
+    The salt is _row_salt (xxhash64 over every column of the RAW lineitem
+    row, computed BEFORE the projection to (k, quantity)): content-derived
+    so it survives repartitioning, and row-distinct at source granularity —
+    hub rows tied on quantity still spread, because the salt sees the full
+    row identity, not just the two projected columns. Correctness never
+    depends on it — the oracle is the plain join + aggregate."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     skew_key = F.when(F.col("l_orderkey") % 4 != 0, F.lit(0)).otherwise(
         F.col("l_orderkey")
     )
-    base = li.select(skew_key.alias("k"), "l_quantity")
-    fact = base.withColumn("_salt", _row_salt(base, SALTED_JOIN_REP))
+    fact = li.select(
+        skew_key.alias("k"),
+        "l_quantity",
+        _row_salt(li, SALTED_JOIN_REP).alias("_salt"),
+    )
     dim = (
         orders.filter((F.col("o_orderkey") % 4 == 0) & (F.col("o_orderkey") > 0))
         .select(F.col("o_orderkey").alias("k"))
@@ -444,13 +449,23 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       pinned in tests/test_plans.py with the hold-past-action idiom and
       BOTH broadcast thresholds (static + adaptive) held at -1.
 
-    The tables are EXTERNAL (explicit path under /tmp keyed by the Spark
-    application id) so the query never depends on spark.sql.warehouse.dir,
-    and mode('overwrite') makes reruns in one session idempotent. The only
+    The tables are EXTERNAL (explicit path under /tmp keyed by sf_dir, the
+    _events_stream convention) so the query never depends on
+    spark.sql.warehouse.dir; table names carry the same sf_dir tag, so
+    calls against different sf_dirs are independent and a returned (lazy)
+    DataFrame is never silently re-pointed at other data by a later call.
+    mode('overwrite') onto the FIXED per-sf_dir path makes reruns
+    idempotent and bounds /tmp to one staged copy per sf_dir (an
+    application-id-keyed path would leak a copy per Spark app). Like the
+    repo's other scoped-resource ops this is not concurrent-safe across
+    two simultaneous Spark applications sharing the path. The only
     Exchange in the whole plan is the final aggregate's.
 
     Oracle: the plain customer x orders join + aggregate."""
-    base = f"/tmp/rossete_bucketed/{spark.sparkContext.applicationId}"
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+    base = f"/tmp/rossete_bucketed/{tag}"
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
@@ -464,7 +479,7 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .bucketBy(BUCKETED_JOIN_BUCKETS, "o_custkey")
         .sortBy("o_custkey")
         .option("path", f"{base}/orders")
-        .saveAsTable("bj_orders")
+        .saveAsTable(f"bj_orders_{tag}")
     )
     (
         customer.repartition(BUCKETED_JOIN_BUCKETS, "c_custkey")
@@ -473,10 +488,10 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .bucketBy(BUCKETED_JOIN_BUCKETS, "c_custkey")
         .sortBy("c_custkey")
         .option("path", f"{base}/customer")
-        .saveAsTable("bj_customer")
+        .saveAsTable(f"bj_customer_{tag}")
     )
-    bo = spark.table("bj_orders")
-    bc = spark.table("bj_customer")
+    bo = spark.table(f"bj_orders_{tag}")
+    bc = spark.table(f"bj_customer_{tag}")
     return (
         bc.join(bo, bc["c_custkey"] == bo["o_custkey"])
         .groupBy("c_mktsegment", "o_orderstatus")
