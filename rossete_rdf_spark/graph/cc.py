@@ -190,37 +190,30 @@ def connected_components(
         return out
 
 
-def dictionary_encode_nodes(
-    edges: DataFrame, partitions: int | None = None
+def dense_ids(
+    values: DataFrame, col: str = "node", partitions: int | None = None
 ) -> DataFrame:
-    """(node, nid) dictionary with ORDER-PRESERVING dense long ids: the rank
-    of each distinct node under its natural ordering. Order preservation is
-    load-bearing — the CC loop labels components with the MIN node id, so
-    min(nid) must decode back to min(node).
-
-    All JVM-side and fully distributed (no zipWithIndex RDD pass through
-    Python, no single-partition window):
-      1. range-repartition the distinct node set — partition i holds keys
+    """(col, nid) with ORDER-PRESERVING dense long ids 0..n-1: the rank of
+    each DISTINCT value under its natural ordering. The general distributed
+    id-assignment primitive (vocabulary ids, node dictionaries, surrogate
+    keys) — what zipWithIndex does on an RDD, done JVM-side with no
+    single-partition window and no Python pass:
+      1. range-repartition the distinct value set — partition i holds keys
          strictly below partition i+1, so (partition id, within-partition
          rank) is a global rank;
       2. per-partition counts -> exclusive prefix offsets (one row per
          partition: driver-free, broadcast back);
       3. nid = offset[partition] + row_number within the partition (the
-         window's sort is bounded by one range partition, never the node
+         window's sort is bounded by one range partition, never the value
          set).
     The two consumers of the ranged set (counts + rank) share one lazy
     localCheckpoint so the distinct+range shuffle runs once."""
-    spark = edges.sparkSession
+    spark = values.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # single-pass explode, not select(src) UNION select(dst): one scan of
-    # the edge set instead of two, and it sidesteps a Catalyst constraint-
-    # rewrite crash (UnionBase.rewriteConstraints "key not found: dst#N")
-    # on self-unions of multi-join edge plans
-    nodes = edges.select(
-        F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
-    ).distinct()
     ranged = (
-        nodes.repartitionByRange(p, "node")
+        values.select(col)
+        .distinct()
+        .repartitionByRange(p, col)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
@@ -232,11 +225,27 @@ def dictionary_encode_nodes(
         .withColumn("__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
         .select("__pid", "__off")
     )
-    w_rank = Window.partitionBy("__pid").orderBy("node")
+    w_rank = Window.partitionBy("__pid").orderBy(col)
     return ranged.join(F.broadcast(offsets), "__pid").select(
-        "node",
+        col,
         (F.col("__off") + F.row_number().over(w_rank) - 1).alias("nid"),
     )
+
+
+def dictionary_encode_nodes(
+    edges: DataFrame, partitions: int | None = None
+) -> DataFrame:
+    """(node, nid) dictionary over an edge set's endpoints via dense_ids.
+    Order preservation is load-bearing — the CC loop labels components with
+    the MIN node id, so min(nid) must decode back to min(node)."""
+    # single-pass explode, not select(src) UNION select(dst): one scan of
+    # the edge set instead of two, and it sidesteps a Catalyst constraint-
+    # rewrite crash (UnionBase.rewriteConstraints "key not found: dst#N")
+    # on self-unions of multi-join edge plans
+    nodes = edges.select(
+        F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+    )
+    return dense_ids(nodes, "node", partitions)
 
 
 def connected_components_encoded(

@@ -367,6 +367,15 @@ WHERE doc_id = canon
   AND bucket < CASE lang {_SAMPLE_CASE} ELSE 100 END
 """
 
+# dense vocabulary ids: order preservation makes the distributed
+# range-partition/offset/rank machinery equal to a plain global row_number
+# over the distinct token set — which IS the oracle
+ORACLES["vocab_dense_ids"] = f"""
+SELECT tok AS token,
+       (row_number() OVER (ORDER BY tok) - 1)::BIGINT AS token_id
+FROM (SELECT DISTINCT unnest({_WORDS}) AS tok FROM documents)
+"""
+
 # CCNet-style unigram log-probability quality score: same lowercased
 # tokenization as tfidf; the per-doc reduction is the kmeans-proven
 # term-sorted fold (list(... ORDER BY term) + list_reduce == Spark

@@ -60,6 +60,7 @@ from .textops import (
     tfidf_top_terms,
     token_count,
     train_test_split,
+    vocab_dense_ids,
     unigram_logprob,
     winnow_fingerprints,
 )
@@ -104,6 +105,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_clean_corpus": _docs_op(clean_corpus),
     "doc_tfidf_top_terms": _docs_op(tfidf_top_terms),
     "doc_unigram_logprob": _docs_op(unigram_logprob),
+    "vocab_dense_ids": _docs_op(vocab_dense_ids),
     "doc_decontaminate": _docs_op(decontaminate),
     # web-corpus cleaning (URL canonicalization + PII scrub)
     "doc_url_dedup": _docs_op(url_dedup),

@@ -41,5 +41,6 @@ from .quality import (  # noqa: F401
     token_count,
     train_test_split,
     unigram_logprob,
+    vocab_dense_ids,
     winnow_fingerprints,
 )

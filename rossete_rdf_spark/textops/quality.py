@@ -608,3 +608,25 @@ def length_outliers(docs: DataFrame) -> DataFrame:
             .alias("reason"),
         )
     )
+
+
+def vocab_dense_ids(docs: DataFrame) -> DataFrame:
+    """(token, token_id) — the corpus vocabulary with ORDER-PRESERVING dense
+    long ids 0..|V|-1: tokenizer/embedding-table id assignment as a corpus
+    job. Built on graph.cc.dense_ids, the repo's distributed id-assignment
+    primitive (range-repartition -> per-partition counts -> broadcast
+    offsets -> bounded per-partition rank): no zipWithIndex RDD pass, no
+    monotonically_increasing_id gaps, and — the part that matters at 10^12
+    documents — no single-partition global window: every sort is bounded by
+    one range partition of the DISTINCT token set. Dense gap-free ids are
+    what embedding tables index by; order preservation makes the mapping
+    reproducible from the vocabulary alone (same tokens -> same ids, on any
+    cluster at any partitioning).
+
+    Oracle: row_number() - 1 over the distinct tokens in token order."""
+    from ..graph.cc import dense_ids
+
+    words = docs.select(F.explode(words_col(F.col("text"))).alias("token"))
+    return dense_ids(words, "token").select(
+        "token", F.col("nid").alias("token_id")
+    )

@@ -275,3 +275,20 @@ def test_repetition_scores_hand_computed(spark):
     # "x x x": one trigram occurring once -> singleton -> 0.0
     assert got[4] == (3, 0.666667, 1.0, 0.0)
     assert got[5] == (0, 0.0, 0.0, 0.0)
+
+
+def test_dense_ids_are_gapfree_and_order_preserving(spark):
+    # dense_ids must equal a global row_number over the distinct sorted
+    # values — gap-free 0..n-1, order-preserving — regardless of input
+    # partitioning or duplication, with more distinct values than range
+    # partitions so the offset arithmetic actually composes across
+    # partitions
+    from rossete_rdf_spark.graph.cc import dense_ids
+
+    vals = [f"tok{i:04d}" for i in range(500)]
+    # duplicated + shuffled input across an awkward partition count
+    df = spark.createDataFrame(
+        [(v,) for v in vals * 3][::-1], ["token"]
+    ).repartition(7)
+    got = {r.token: r.nid for r in dense_ids(df, "token").collect()}
+    assert got == {v: i for i, v in enumerate(sorted(vals))}
