@@ -367,6 +367,23 @@ WHERE doc_id = canon
   AND bucket < CASE lang {_SAMPLE_CASE} ELSE 100 END
 """
 
+# per-domain quota: the salt/slice composition is an implementation detail
+# — the oracle is the plain per-source row_number over the same
+# content-stable (md5 of text|doc_id) selection key
+from .textops.quality import DOMAIN_QUOTA_K  # noqa: E402
+
+ORACLES["doc_domain_quota"] = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(text || '|' || doc_id::VARCHAR), 1, 15))::BIGINT
+           AS qk
+  FROM documents),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY qk) AS rk
+      FROM q)
+SELECT doc_id, source, rk::BIGINT AS rk FROM r WHERE rk <= {DOMAIN_QUOTA_K}
+"""
+
 # dense vocabulary ids: order preservation makes the distributed
 # range-partition/offset/rank machinery equal to a plain global row_number
 # over the distinct token set — which IS the oracle

@@ -30,6 +30,7 @@ from .webclean import (  # noqa: F401
 )
 from .quality import (  # noqa: F401
     clean_corpus,
+    domain_quota,
     doc_fingerprint,
     lang_id,
     length_outliers,

@@ -630,3 +630,42 @@ def vocab_dense_ids(docs: DataFrame) -> DataFrame:
     return dense_ids(words, "token").select(
         "token", F.col("nid").alias("token_id")
     )
+
+
+DOMAIN_QUOTA_K = 10
+
+
+def domain_quota(docs: DataFrame, k: int = DOMAIN_QUOTA_K) -> DataFrame:
+    """(doc_id, source, rk) — per-domain quota sampling: keep at most k
+    documents per source, chosen by a content-stable hash rank. The corpus-
+    composition staple that stops mega-domains from dominating a training
+    mix (the complement of doc_stratified_sample's per-stratum RATE: a
+    quota is an absolute CAP, which a rate cannot express when domain sizes
+    span orders of magnitude).
+
+    Selection key = md5(text|doc_id) prefix: content-derived, so survivors
+    are identical under repartitioning / engine migration / incremental
+    backfill (the train_test_split argument), and unique per row, so ranks
+    are total and the output is bit-stable.
+
+    Scale shape: runs through salted_top_k_per_group — k per (salt, source)
+    slice then k-of-k — because the quota's whole reason to exist is hub
+    domains with millions of rows, exactly the groups a plain per-source
+    row_number window would sort in ONE partition. The salted composition
+    bounds every sort at slice size while provably keeping the same k
+    survivors. Oracle: the plain global row_number per source."""
+    from ..relops import salted_top_k_per_group
+
+    qkey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("text"), F.lit("|"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    staged = docs.select("doc_id", "source", qkey.alias("qkey"))
+    return salted_top_k_per_group(staged, ["source"], "qkey", k, desc=False).select(
+        "doc_id", "source", "rk"
+    )
