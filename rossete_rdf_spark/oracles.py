@@ -370,7 +370,7 @@ WHERE doc_id = canon
 # per-domain quota: the salt/slice composition is an implementation detail
 # — the oracle is the plain per-source row_number over the same
 # content-stable (md5 of text|doc_id) selection key
-from .textops.quality import DOMAIN_QUOTA_K  # noqa: E402
+from .textops.quality import DOMAIN_QUOTA_K, GLOBAL_SAMPLE_K  # noqa: E402
 
 ORACLES["doc_domain_quota"] = f"""
 WITH q AS (
@@ -382,6 +382,19 @@ r AS (SELECT doc_id, source,
              row_number() OVER (PARTITION BY source ORDER BY qk) AS rk
       FROM q)
 SELECT doc_id, source, rk::BIGINT AS rk FROM r WHERE rk <= {DOMAIN_QUOTA_K}
+"""
+
+# exact-k global sample: TakeOrderedAndProject is an execution shape —
+# the oracle is the plain ORDER BY hash LIMIT k with a global rank
+ORACLES["doc_global_sample"] = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(text || '|' || doc_id::VARCHAR), 1, 15))::BIGINT
+           AS qk
+  FROM documents)
+SELECT doc_id, source,
+       (row_number() OVER (ORDER BY qk))::BIGINT AS sample_rank
+FROM (SELECT * FROM q ORDER BY qk LIMIT {GLOBAL_SAMPLE_K})
 """
 
 # dense vocabulary ids: order preservation makes the distributed

@@ -32,6 +32,7 @@ from .textops import (
     ann_sq8_topk,
     domain_blocklist,
     domain_quota,
+    global_sample,
     heavy_hitters_cms,
     sketch_distinct_hll,
     sketch_distinct_kmv,
@@ -102,6 +103,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_train_test_split": _docs_op(train_test_split),
     "doc_stratified_sample": _docs_op(stratified_sample),
     "doc_domain_quota": _docs_op(domain_quota),
+    "doc_global_sample": _docs_op(global_sample),
     "doc_length_outliers": _docs_op(length_outliers),
     "doc_source_stats": _docs_op(source_stats),
     "doc_clean_corpus": _docs_op(clean_corpus),

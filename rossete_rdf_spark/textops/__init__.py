@@ -31,6 +31,7 @@ from .webclean import (  # noqa: F401
 from .quality import (  # noqa: F401
     clean_corpus,
     domain_quota,
+    global_sample,
     doc_fingerprint,
     lang_id,
     length_outliers,

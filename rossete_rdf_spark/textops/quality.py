@@ -669,3 +669,41 @@ def domain_quota(docs: DataFrame, k: int = DOMAIN_QUOTA_K) -> DataFrame:
     return salted_top_k_per_group(staged, ["source"], "qkey", k, desc=False).select(
         "doc_id", "source", "rk"
     )
+
+
+GLOBAL_SAMPLE_K = 200
+
+
+def global_sample(docs: DataFrame, k: int = GLOBAL_SAMPLE_K) -> DataFrame:
+    """(doc_id, source, sample_rank) — an EXACT-size deterministic global
+    sample: the k documents with the smallest content-stable hash, ranked.
+    Rate-based samplers (sample(), doc_stratified_sample) cannot hit an
+    exact row count, and rand()-seeded ones are not stable under
+    repartitioning; "give me exactly 100k held-out docs from 10^12, the
+    same ones every run" needs a total order on a content key.
+
+    Scale shape: orderBy(hash).limit(k) compiles to TakeOrderedAndProject
+    (plan-asserted in tests/test_plans.py) — every task keeps a k-element
+    bounded heap over its partition and the driver merges P*k candidates;
+    no global sort, no full shuffle, the KMV-sketch execution shape applied
+    to row selection. The final rank is a window over k rows.
+
+    Selection key = md5(text|doc_id) prefix (the domain_quota key): unique
+    per row, so the sample and its ranks are total and bit-stable."""
+    qkey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("text"), F.lit("|"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql.window import Window as W
+
+    top = docs.select("doc_id", "source", qkey.alias("qkey")).orderBy("qkey").limit(k)
+    return top.select(
+        "doc_id",
+        "source",
+        F.row_number().over(W.orderBy("qkey")).cast("long").alias("sample_rank"),
+    )

@@ -314,3 +314,15 @@ def test_salted_join_matches_plain_join(spark):
     }
     assert salted == plain
     assert salted["grp0"][0] > 5 * salted["grp1"][0]  # the hub is real
+
+
+def test_global_sample_is_bounded_heap_not_sort(spark):
+    # doc_global_sample's orderBy(qkey).limit(k) must compile to
+    # TakeOrderedAndProject (per-task k-heap + driver merge), never a
+    # global Sort of the corpus — the KMV plan property applied to rows
+    from rossete_rdf_spark.textops.quality import global_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(global_sample(docs))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [qkey" not in plan
