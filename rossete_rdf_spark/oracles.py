@@ -372,11 +372,16 @@ WHERE doc_id = canon
 # content-stable (md5 of text|doc_id) selection key
 from .textops.quality import DOMAIN_QUOTA_K, GLOBAL_SAMPLE_K  # noqa: E402
 
+# SQL twin of textops.quality.content_key (NULL text coalesced to '' for
+# identical cross-engine ordering of every row)
+_CONTENT_KEY = (
+    "('0x' || substr(md5(coalesce(text, '') || '|' || doc_id::VARCHAR),"
+    " 1, 15))::BIGINT"
+)
+
 ORACLES["doc_domain_quota"] = f"""
 WITH q AS (
-  SELECT doc_id, source,
-         ('0x' || substr(md5(text || '|' || doc_id::VARCHAR), 1, 15))::BIGINT
-           AS qk
+  SELECT doc_id, source, {_CONTENT_KEY} AS qk
   FROM documents),
 r AS (SELECT doc_id, source,
              row_number() OVER (PARTITION BY source ORDER BY qk) AS rk
@@ -388,9 +393,7 @@ SELECT doc_id, source, rk::BIGINT AS rk FROM r WHERE rk <= {DOMAIN_QUOTA_K}
 # the oracle is the plain ORDER BY hash LIMIT k with a global rank
 ORACLES["doc_global_sample"] = f"""
 WITH q AS (
-  SELECT doc_id, source,
-         ('0x' || substr(md5(text || '|' || doc_id::VARCHAR), 1, 15))::BIGINT
-           AS qk
+  SELECT doc_id, source, {_CONTENT_KEY} AS qk
   FROM documents)
 SELECT doc_id, source,
        (row_number() OVER (ORDER BY qk))::BIGINT AS sample_rank

@@ -632,6 +632,31 @@ def vocab_dense_ids(docs: DataFrame) -> DataFrame:
     )
 
 
+def content_key(text_col, id_col) -> F.Column:
+    """Content-stable 60-bit selection key md5(text|doc_id) prefix, shared
+    by doc_domain_quota and doc_global_sample (SQL twin: oracles._CONTENT_KEY).
+    NULL text is coalesced to '' BEFORE the concat: Spark sorts NULLs first
+    ascending while DuckDB's ORDER BY defaults to NULLs last, so a NULL key
+    would silently put the row on different sides of the cutoff in the two
+    engines. The id in the hash makes the key unique per row (total order,
+    bit-stable ranks)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.coalesce(text_col, F.lit("")),
+                    F.lit("|"),
+                    id_col.cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 DOMAIN_QUOTA_K = 10
 
 
@@ -656,16 +681,9 @@ def domain_quota(docs: DataFrame, k: int = DOMAIN_QUOTA_K) -> DataFrame:
     survivors. Oracle: the plain global row_number per source."""
     from ..relops import salted_top_k_per_group
 
-    qkey = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("text"), F.lit("|"), F.col("doc_id").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    staged = docs.select("doc_id", "source", qkey.alias("qkey"))
+    staged = docs.select(
+        "doc_id", "source", content_key(F.col("text"), F.col("doc_id")).alias("qkey")
+    )
     return salted_top_k_per_group(staged, ["source"], "qkey", k, desc=False).select(
         "doc_id", "source", "rk"
     )
@@ -690,18 +708,17 @@ def global_sample(docs: DataFrame, k: int = GLOBAL_SAMPLE_K) -> DataFrame:
 
     Selection key = md5(text|doc_id) prefix (the domain_quota key): unique
     per row, so the sample and its ranks are total and bit-stable."""
-    qkey = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("text"), F.lit("|"), F.col("doc_id").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
     from pyspark.sql.window import Window as W
 
-    top = docs.select("doc_id", "source", qkey.alias("qkey")).orderBy("qkey").limit(k)
+    top = (
+        docs.select(
+            "doc_id",
+            "source",
+            content_key(F.col("text"), F.col("doc_id")).alias("qkey"),
+        )
+        .orderBy("qkey")
+        .limit(k)
+    )
     return top.select(
         "doc_id",
         "source",
