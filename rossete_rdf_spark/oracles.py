@@ -1072,6 +1072,72 @@ SELECT p.url FROM p LEFT JOIN comp ON comp.node = p.url
 WHERE comp.component IS NULL OR comp.component = p.url
 """
 
+# --- entity canonicalization (LSH -> >=2-band -> Jaccard verify -> CC) -----
+
+from .pipeline.canonicalize import (  # noqa: E402
+    BAND_ROWS as CANON_BAND_ROWS,
+    CANON_JACCARD,
+    CANON_PLURAL_MOD,
+    MAX_BUCKET as CANON_MAX_BUCKET,
+    MIN_BANDS as CANON_MIN_BANDS,
+    N_HASHES as CANON_N_HASHES,
+    NGRAM as CANON_NGRAM,
+)
+from .kgops import MIN_MENTION_LEN as _CANON_MIN_LEN  # noqa: E402
+
+# _band_select_sql bakes dedup's N_HASHES/BAND_ROWS; the canonicalizer's
+# banding must stay in lock-step or the oracle silently diverges
+assert CANON_N_HASHES == N_HASHES and CANON_BAND_ROWS == BAND_ROWS
+
+_canon_minhash_cols = ", ".join(
+    f"min(('0x' || substr(md5('{i}|' || g), 1, 15))::BIGINT) AS h{i}"
+    for i in range(CANON_N_HASHES)
+)
+_canon_band_selects = _band_select_sql("s", "csig")
+
+ORACLES["kg_entity_canonical"] = f"""
+WITH RECURSIVE
+w AS (SELECT DISTINCT tok AS w
+      FROM (SELECT unnest({_WORDS}) AS tok FROM documents)
+      WHERE length(tok) >= {_CANON_MIN_LEN}),
+surf AS (SELECT w AS s FROM w
+         UNION
+         SELECT w || 's' FROM w
+         WHERE ('0x' || substr(md5(w), 1, 15))::BIGINT % {CANON_PLURAL_MOD} = 0),
+cg AS (SELECT DISTINCT s, g FROM (
+        SELECT s, unnest([substr(s, i::INTEGER, {CANON_NGRAM})
+                          for i in range(1, greatest(length(s) - {CANON_NGRAM - 1},
+                                                     0) + 1)]) AS g
+        FROM surf)),
+csig AS (SELECT s, {_canon_minhash_cols} FROM cg GROUP BY 1),
+bands0 AS ({_canon_band_selects}),
+bands AS (SELECT s, band, key FROM
+            (SELECT *, count(*) OVER (PARTITION BY band, key) AS bn FROM bands0)
+          WHERE bn <= {CANON_MAX_BUCKET}),
+cand AS (SELECT a.s AS a, b.s AS b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.s < b.s
+         GROUP BY 1, 2 HAVING count(*) >= {CANON_MIN_BANDS}),
+sizes AS (SELECT s, count(*) AS n FROM cg GROUP BY 1),
+inter AS (SELECT c.a, c.b, count(*) AS cnt
+          FROM cand c
+          JOIN cg ga ON ga.s = c.a
+          JOIN cg gb ON gb.s = c.b AND gb.g = ga.g
+          GROUP BY 1, 2),
+ver AS (SELECT it.a, it.b FROM inter it
+        JOIN sizes sa ON sa.s = it.a
+        JOIN sizes sb ON sb.s = it.b
+        WHERE it.cnt / (sa.n + sb.n - it.cnt) >= {CANON_JACCARD}),
+sym AS (SELECT a AS src, b AS dst FROM ver UNION SELECT b, a FROM ver),
+reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY 1)
+SELECT surf.s AS surface, coalesce(comp.component, surf.s) AS canonical
+FROM surf LEFT JOIN comp ON comp.node = surf.s
+"""
+
 # IVF ANN: deterministic centroids (vec_id < 16), nearest-centroid inverted
 # lists, search within the query's own list. Assignment compares RAW doubles
 # (same fold order both engines -> bitwise equal); output sim rounded.

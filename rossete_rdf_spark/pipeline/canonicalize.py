@@ -23,6 +23,7 @@ NGRAM = 3
 # non-discriminative anyway; dropping them loses only low-signal candidates.
 MAX_BUCKET = 50
 MIN_BANDS = 2  # candidates must collide in >= 2 of 4 bands
+CANON_JACCARD = 0.6  # exact-Jaccard verification threshold (oracle twin imports it)
 
 
 def _char_ngrams(col, n: int = NGRAM):
@@ -87,7 +88,7 @@ def surface_candidate_pairs(surfaces: DataFrame, col: str = "surface") -> DataFr
     )
 
 
-def verified_pairs(candidates: DataFrame, threshold: float = 0.6) -> DataFrame:
+def verified_pairs(candidates: DataFrame, threshold: float = CANON_JACCARD) -> DataFrame:
     """Exact char-n-gram Jaccard on candidates only. The gram array is
     computed ONCE per surface and joined in (broadcast — the surface set is
     the gazetteer, small by construction), not recomputed per pair row."""
@@ -114,7 +115,7 @@ def verified_pairs(candidates: DataFrame, threshold: float = 0.6) -> DataFrame:
     )
 
 
-def canonical_entity_map(surfaces: DataFrame, threshold: float = 0.6) -> DataFrame:
+def canonical_entity_map(surfaces: DataFrame, threshold: float = CANON_JACCARD) -> DataFrame:
     """(surface) -> (surface, canonical) where canonical = min surface of the
     duplicate cluster (connected component); singletons map to themselves."""
     cands = surface_candidate_pairs(surfaces)
@@ -136,3 +137,43 @@ def canonical_entity_map(surfaces: DataFrame, threshold: float = 0.6) -> DataFra
             F.coalesce(F.col("component"), F.col("surface")).alias("canonical"),
         )
     )
+
+
+CANON_PLURAL_MOD = 3  # ~1/3 of surfaces get a deterministic plural twin
+
+
+def entity_canonical_query(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract face of the canonicalization stage: (surface,
+    canonical) over the corpus's mention-eligible vocabulary, with
+    deterministic plural twins ('w' -> 'ws' for surfaces whose content hash
+    % CANON_PLURAL_MOD == 0) planted so the LSH -> >=2-band -> exact-Jaccard
+    -> CC path has real merges to find — the pagedup-tier pattern
+    (page_canonical_lsh) applied to ENTITY surfaces. LSH recall < 1 is fine:
+    the DuckDB oracle replays the identical banding/cap/verify pipeline and
+    closes components with a recursive min-label CTE, so both engines miss
+    the same pairs.
+
+    Scale shape: unchanged from canonical_entity_map — banding linear in
+    surfaces x bands with the MAX_BUCKET cap, verification only on >=2-band
+    candidates with ONE gram array per surface (broadcast), CC on the
+    verified-pair edge list (gazetteer-bounded, so string keys beat the
+    dictionary-encoding pass that pays off on corpus-sized page graphs)."""
+    from pyspark.sql import functions as F
+
+    from ..kgops import MIN_MENTION_LEN
+    from ..textops.common import words_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (
+        docs.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= MIN_MENTION_LEN)
+        .distinct()
+    )
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    variants = words.filter(h % CANON_PLURAL_MOD == 0).select(
+        F.concat(F.col("w"), F.lit("s")).alias("w")
+    )
+    surfaces = (
+        words.unionByName(variants).distinct().select(F.col("w").alias("surface"))
+    )
+    return canonical_entity_map(surfaces)

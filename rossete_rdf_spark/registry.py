@@ -18,6 +18,7 @@ from .graph.analytics import (
 )
 from .oracles import ORACLES
 from .pipeline.multimodal import multimodal_features_query
+from .pipeline.canonicalize import entity_canonical_query
 from .pipeline.pagedup import page_canonical_exact_query, page_canonical_lsh_query
 from .streaming.events import (
     streaming_dedup_query,
@@ -147,6 +148,8 @@ QUERIES: dict[str, QueryFn] = {
     # RDFS forward chaining + SHACL-style snapshot validation
     "kg_rdfs_inference": kgops.kg_rdfs_inference,
     "kg_shacl_validate": kgops.kg_shacl_validate,
+    # entity canonicalization (LSH blocking -> Jaccard verify -> CC), oracled
+    "kg_entity_canonical": entity_canonical_query,
     # entity-graph analytics over the co-mention graph
     "kg_entity_pagerank": _docs_op(entity_pagerank),
     "kg_entity_triangles": _docs_op(entity_triangles),
