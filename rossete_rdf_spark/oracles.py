@@ -812,14 +812,32 @@ SELECT coalesce(event_type, 'ALL') AS event_type,
 FROM e GROUP BY ROLLUP(event_type, hour_of_day)
 """
 
-ORACLES["events_pivot"] = """
+from .relops import PIVOT_TYPES  # noqa: E402
+
+# generated from the SAME type list the Spark pivot uses (lock-step)
+_pivot_cols = ",\n       ".join(
+    f"round(sum(CASE WHEN event_type = '{t}' THEN value END), 2) AS {t}"
+    for t in PIVOT_TYPES
+)
+ORACLES["events_pivot"] = f"""
 SELECT user_id,
-       round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
-       round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
-       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
-       round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
-       round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error
+       {_pivot_cols}
 FROM events GROUP BY 1
+"""
+
+# the unpivot round trip is lossless iff it reproduces the direct aggregate
+ORACLES["events_unpivot_roundtrip"] = """
+SELECT user_id, event_type, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["events_cube"] = """
+WITH e AS (SELECT event_type, hour(ts) AS hour_of_day, value FROM events)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(hour_of_day, -1) AS hour_of_day,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM e GROUP BY CUBE(event_type, hour_of_day)
 """
 
 # watermarked streaming dedup: one availableNow batch -> the surviving key

@@ -175,7 +175,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_anomaly_zscore": relops.events_anomaly_zscore,
     "mention_counts_salted": relops.mention_counts_salted,
     "events_rollup": relops.events_rollup,
+    "events_cube": relops.events_cube,
     "events_pivot": relops.events_pivot,
+    "events_unpivot_roundtrip": relops.events_unpivot_roundtrip,
     "events_hourly_agg": relops.events_hourly_agg,
     "events_hopping_agg": relops.events_hopping_agg,
     "events_sessionize": relops.events_sessionize,

@@ -911,6 +911,9 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
 def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long->wide pivot: per-user spend split into one column per event
     type. The value list is EXPLICIT — with it, pivot is a single
@@ -920,10 +923,51 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = (
         ev.groupBy("user_id")
-        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .pivot("event_type", PIVOT_TYPES)
         .agg(F.round(F.sum("value"), 2))
     )
     return out
+
+
+def events_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot of the pivot result, proving the pivot/unpivot
+    pair LOSSLESS in-band (the kg_apply_delta pattern): the query returns
+    unpivot(pivot(events)) while the oracle materializes the direct
+    (user_id, event_type) aggregate — value equality certifies the round
+    trip. Uses the native DataFrame.unpivot (a zero-shuffle projection:
+    each wide row expands to |types| long rows in the same task); NULL
+    cells — types a user never produced, created by the pivot, absent from
+    the direct aggregate — are dropped, which is the lossless inverse."""
+    wide = events_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=PIVOT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="total_value",
+    ).filter(F.col("total_value").isNotNull())
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(event_type, hour_of_day): all four grouping sets — per-(type,
+    hour), per-type, per-hour, grand total — in ONE shuffle with map-side
+    partials, completing the grouping-sets family next to events_rollup's
+    hierarchy (rollup omits the per-hour slice; cube is the full lattice,
+    2^n sets, which is why the dimension count stays small at scale). Same
+    sentinel discipline as the rollup: subtotal NULLs coalesced to
+    'ALL'/-1 so both engines order and hash identically."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "hour_of_day", F.hour("ts").cast("long")
+    )
+    out = ev.cube("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return out.select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        F.coalesce("hour_of_day", F.lit(-1)).alias("hour_of_day"),
+        "n_events",
+        "sum_value",
+    )
 
 
 def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
