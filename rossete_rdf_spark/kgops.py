@@ -36,13 +36,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def eligible_tokens(docs: DataFrame, out_col: str = "mention") -> DataFrame:
+    """(doc_id, <out_col>) token stream of mention-ELIGIBLE terms (length >=
+    MIN_MENTION_LEN) — the single definition of eligibility, shared by the
+    mention/gazetteer stages and entity canonicalization so the two can
+    never silently canonicalize different surface sets."""
+    return docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias(out_col)
+    ).filter(F.length(out_col) >= MIN_MENTION_LEN)
+
+
 def mentions_from(docs: DataFrame) -> DataFrame:
-    """(doc_id, mention, n_occurrences) — tokens of length >= MIN_MENTION_LEN.
+    """(doc_id, mention, n_occurrences) — eligible tokens counted per doc.
     Explode + count: one shuffle keyed by (doc_id, mention)."""
-    toks = docs.select(
-        "doc_id", F.explode(words_col(F.col("text"))).alias("mention")
-    ).filter(F.length("mention") >= MIN_MENTION_LEN)
-    return toks.groupBy("doc_id", "mention").agg(
+    return eligible_tokens(docs).groupBy("doc_id", "mention").agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
 

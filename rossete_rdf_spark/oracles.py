@@ -1121,7 +1121,8 @@ w AS (SELECT DISTINCT tok AS w
 surf AS (SELECT w AS s FROM w
          UNION
          SELECT w || 's' FROM w
-         WHERE ('0x' || substr(md5(w), 1, 15))::BIGINT % {CANON_PLURAL_MOD} = 0),
+         WHERE ('0x' || substr(md5('plural|' || w), 1, 15))::BIGINT
+               % {CANON_PLURAL_MOD} = 0),
 cg AS (SELECT DISTINCT s, g FROM (
         SELECT s, unnest([substr(s, i::INTEGER, {CANON_NGRAM})
                           for i in range(1, greatest(length(s) - {CANON_NGRAM - 1},

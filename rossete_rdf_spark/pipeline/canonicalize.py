@@ -160,19 +160,14 @@ def entity_canonical_query(spark, sf_dir: str) -> DataFrame:
     dictionary-encoding pass that pays off on corpus-sized page graphs)."""
     from pyspark.sql import functions as F
 
-    from ..kgops import MIN_MENTION_LEN
-    from ..textops.common import words_col
+    from ..kgops import eligible_tokens
+    from ..textops.dedup import minhash64
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = (
-        docs.select(F.explode(words_col(F.col("text"))).alias("w"))
-        .filter(F.length("w") >= MIN_MENTION_LEN)
-        .distinct()
-    )
-    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
-    variants = words.filter(h % CANON_PLURAL_MOD == 0).select(
-        F.concat(F.col("w"), F.lit("s")).alias("w")
-    )
+    words = eligible_tokens(docs, "w").select("w").distinct()
+    variants = words.filter(
+        minhash64(F.col("w"), "plural") % CANON_PLURAL_MOD == 0
+    ).select(F.concat(F.col("w"), F.lit("s")).alias("w"))
     surfaces = (
         words.unionByName(variants).distinct().select(F.col("w").alias("surface"))
     )
