@@ -1863,7 +1863,7 @@ _PQ_QDOT = (
     f"for i in range(1, {PQ_DSUB} + 1)], (x, y) -> x + y)"
 )
 
-ORACLES["ann_pq_adc_topk"] = f"""
+_PQ_SCORED_CTES = f"""
 WITH staged AS (SELECT vec_id, embedding, {_SQ_NORM} AS nrm FROM embeddings),
 nvt AS (
   SELECT vec_id,
@@ -1899,7 +1899,23 @@ scored AS (
   WHERE query_id <> cand_id),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_pq DESC, cand_id) AS rk
-  FROM scored)
+  FROM scored)"""
+
+ORACLES["ann_pq_adc_topk"] = _PQ_SCORED_CTES + """
 SELECT query_id, cand_id, round(score_pq, 6) AS score_pq, sim_exact, rk::BIGINT AS rk
 FROM ranked WHERE rk <= 5
+"""
+
+# rerank: ADC shortlist (raw-score ranks, cand_id tie-break) -> exact
+# cosine re-rank within the pool — both stages replayed on raw scores
+from .textops.ann import PQ_RERANK_POOL  # noqa: E402
+
+ORACLES["ann_pq_rerank_topk"] = _PQ_SCORED_CTES + f""",
+pool AS (SELECT * FROM ranked WHERE rk <= {PQ_RERANK_POOL}),
+rer AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_exact DESC, cand_id) AS rk2
+  FROM pool)
+SELECT query_id, cand_id, round(score_pq, 6) AS score_pq, sim_exact,
+       rk2::BIGINT AS rk
+FROM rer WHERE rk2 <= 5
 """

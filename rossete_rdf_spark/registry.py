@@ -30,6 +30,7 @@ from .streaming.events import (
 from .textops import (
     ann_cosine_topk,
     ann_pq_adc_topk,
+    ann_pq_rerank_topk,
     ann_sq8_topk,
     domain_blocklist,
     domain_quota,
@@ -128,6 +129,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_ivf_kmeans_topk": _emb_op(ann_ivf_kmeans_topk),
     "ann_sq8_topk": _emb_op(ann_sq8_topk),
     "ann_pq_adc_topk": _emb_op(ann_pq_adc_topk),
+    "ann_pq_rerank_topk": _emb_op(ann_pq_rerank_topk),
     "embedding_neardup_pairs": _emb_op(embedding_neardup_pairs),
     # KG construction (batch face)
     "kg_mentions": kgops.kg_mentions,

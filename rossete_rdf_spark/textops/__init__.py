@@ -1,6 +1,7 @@
 from .ann import (  # noqa: F401
     ann_cosine_topk,
     ann_pq_adc_topk,
+    ann_pq_rerank_topk,
     ann_sq8_topk,
     ann_ivf_kmeans_topk,
     ann_ivf_nprobe_topk,

@@ -529,14 +529,16 @@ def _sq_l2(a, b):
     )
 
 
-def ann_pq_adc_topk(
+def _pq_scored(
     emb: DataFrame,
-    n_queries: int = N_QUERIES,
-    k: int = TOP_K,
+    n_queries: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Top-k by Product-Quantization ADC (asymmetric distance computation)
+    """(query_id, cand_id, score_pq, sim_exact) — the shared PQ/ADC scored
+    stage behind ann_pq_adc_topk and ann_pq_rerank_topk.
+
+    Product-Quantization ADC (asymmetric distance computation)
     inner product, exact cosine beside it — the compression end-game of the
     ANN family: vectors stored as PQ_M small integer codes (~10.7x smaller
     than float32 at this shape), queries scored WITHOUT decompression
@@ -660,9 +662,69 @@ def ann_pq_adc_topk(
             F.round(cosine_col(F.col("qv"), F.col("cv")), 6).alias("sim_exact"),
         )
     )
+    return scored
+
+
+def ann_pq_adc_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by PQ/ADC score alone (see _pq_scored for the machinery);
+    exact cosine rides along as the in-band accuracy report."""
+    scored = _pq_scored(emb, n_queries, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(F.desc("score_pq"), F.asc("cand_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(F.col("score_pq"), 6).alias("score_pq"),
+            "sim_exact",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+PQ_RERANK_POOL = 50  # ADC shortlist size fed to the exact re-rank
+
+
+def ann_pq_rerank_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    pool: int = PQ_RERANK_POOL,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ deployment shape: ADC shortlists POOL candidates
+    per query from the compressed codes, then EXACT cosine re-ranks only
+    the shortlist — recall recovers toward exact (ADC@5 alone measures
+    0.68-0.76 across sf on these clusterless embeddings; rerank@5 over a
+    50-pool measures 1.0, because the true top-5 survive into the
+    shortlist) while the
+    expensive float pass touches POOL rows per query instead of the
+    corpus. At 10^12 vectors the codes table is the only corpus-sized
+    scan; the re-rank joins raw vectors for query x POOL rows only.
+
+    Both stages rank on raw (unrounded) scores with cand_id tie-breaks, so
+    the shortlist and the final order are bit-identical cross-engine (same
+    fixed-order folds as the ADC query)."""
+    scored = _pq_scored(emb, n_queries, id_col, vec_col)
+    w_pq = Window.partitionBy("query_id").orderBy(
+        F.desc("score_pq"), F.asc("cand_id")
+    )
+    shortlist = scored.withColumn("rk_pq", F.row_number().over(w_pq)).filter(
+        F.col("rk_pq") <= pool
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_exact"), F.asc("cand_id")
+    )
+    return (
+        shortlist.withColumn("rk", F.row_number().over(w_ex))
         .filter(F.col("rk") <= k)
         .select(
             "query_id",
