@@ -112,3 +112,37 @@ def test_pipeline_resume_identity(spark, pages, workdir):
     a = sorted(map(tuple, load_triples(spark, full).collect()))
     b = sorted(map(tuple, load_triples(spark, part).collect()))
     assert a == b
+
+
+def test_compaction_shrinks_files_and_preserves_content(spark, tmp_path):
+    # a fragmented write (32 tiny files) compacts to the byte-derived
+    # target count with identical content; a crashed-safe swap leaves no
+    # temp dirs behind
+    from pyspark.sql import functions as F
+
+    from rossete_rdf_spark.pipeline.compact import (
+        compact_parquet_dir,
+        parquet_file_count,
+    )
+
+    path = str(tmp_path / "frag.parquet")
+    df = spark.range(0, 10000, 1, 32).withColumn(
+        "v", (F.col("id") * 7 % 1000).cast("long")
+    )
+    df.write.mode("overwrite").parquet(path)
+    assert parquet_file_count(path) == 32
+    before = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+
+    m = compact_parquet_dir(spark, path, target_bytes=1 << 30)
+    assert m["rewritten"] and m["files_before"] == 32 and m["files_after"] == 1
+    assert m["rows"] == 10000
+    after = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert after == before
+    import os
+
+    assert not os.path.exists(path + ".__compact__")
+    assert not os.path.exists(path + ".__old__")
+
+    # idempotent: already at/below target -> no rewrite
+    m2 = compact_parquet_dir(spark, path, target_bytes=1 << 30)
+    assert not m2["rewritten"] and m2["files_after"] == 1
