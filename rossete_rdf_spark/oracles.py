@@ -1906,8 +1906,9 @@ SELECT query_id, cand_id, round(score_pq, 6) AS score_pq, sim_exact, rk::BIGINT 
 FROM ranked WHERE rk <= 5
 """
 
-# rerank: ADC shortlist (raw-score ranks, cand_id tie-break) -> exact
-# cosine re-rank within the pool — both stages replayed on raw scores
+# rerank: ADC shortlist on the raw-score ranks (cand_id tie-break), then
+# re-rank by the 6-dp-ROUNDED exact cosine — shortlist agreement rests on
+# identical folds, re-rank agreement on identical rounding
 from .textops.ann import PQ_RERANK_POOL  # noqa: E402
 
 ORACLES["ann_pq_rerank_topk"] = _PQ_SCORED_CTES + f""",

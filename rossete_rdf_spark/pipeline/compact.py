@@ -15,9 +15,12 @@ Design:
   documented: coalesce cannot SPLIT oversized files — growing a too-few-file
   table needs the shuffle, so `allow_shuffle=True` opts into repartition();
 - write-then-swap: the rewrite lands in `<dir>.__compact__`, and only after
-  the new _SUCCESS exists does it replace the original (os.replace of a
-  sibling rename — a crashed compaction leaves the original intact, the
-  resume-safety property the checkpoint manifest relies on);
+  the new _SUCCESS exists does it replace the original via two sibling
+  renames. A crash anywhere up to the first rename leaves the original
+  untouched; a crash in the narrow window between the two renames strands
+  the original at `<dir>.__old__`, which the next invocation detects and
+  restores before doing anything else — so the table is never lost, at
+  worst one rename behind;
 - row-count validated before the swap: a compaction that changes the row
   count is aborted, original untouched.
 """
@@ -28,21 +31,43 @@ import math
 import os
 import shutil
 
+import pyarrow.parquet as pq
 from pyspark.sql import SparkSession
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
 
+def _parquet_files(path: str) -> list[str]:
+    """Top-level data files; a Hive-partitioned layout (parquet under
+    key=*/ subdirs) is rejected explicitly — compacting it correctly means
+    per-partition rewrites, which this flat-directory tool does not do."""
+    files, nested = [], []
+    for f in os.listdir(path):
+        full = os.path.join(path, f)
+        if f.endswith(".parquet") and os.path.isfile(full):
+            files.append(full)
+        elif os.path.isdir(full) and not f.startswith((".", "_")):
+            nested.append(f)
+    if nested and not files:
+        raise NotImplementedError(
+            f"{path} looks Hive-partitioned ({nested[:3]}...); compact each "
+            "partition directory individually"
+        )
+    return files
+
+
 def _dir_parquet_bytes(path: str) -> int:
-    return sum(
-        os.path.getsize(os.path.join(path, f))
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
-    )
+    return sum(os.path.getsize(f) for f in _parquet_files(path))
+
+
+def _footer_rows(path: str) -> int:
+    """Row count from parquet footers only — the no-op branch must not pay
+    a data scan on every maintenance cycle."""
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path))
 
 
 def parquet_file_count(path: str) -> int:
-    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    return len(_parquet_files(path))
 
 
 def compact_parquet_dir(
@@ -53,21 +78,29 @@ def compact_parquet_dir(
 ) -> dict:
     """Rewrite `path` (a parquet directory) into ceil(bytes/target) files.
     Returns {files_before, files_after, bytes, rows} metrics. No-op (and no
-    rewrite) when the directory already has <= target file count."""
+    rewrite) when the file count already matches the target: exactly-at for
+    the shuffle path, at-or-below for the default shrink-only path
+    (coalesce cannot split oversized files; allow_shuffle=True opts into
+    repartition(), which rewrites in BOTH directions). A previous crash
+    between the two swap renames is recovered on entry from the
+    `<path>.__old__` sibling."""
+    old = path.rstrip("/") + ".__old__"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.replace(old, path)  # recover the pre-crash original
     files_before = parquet_file_count(path)
     total = _dir_parquet_bytes(path)
     want = max(1, math.ceil(total / target_bytes))
-    if files_before <= want:
-        df = spark.read.parquet(path)
+    needs = files_before > want or (allow_shuffle and files_before != want)
+    if not needs:
         return {
             "files_before": files_before,
             "files_after": files_before,
             "bytes": total,
-            "rows": df.count(),
+            "rows": _footer_rows(path),
             "rewritten": False,
         }
     df = spark.read.parquet(path)
-    rows_before = df.count()
+    rows_before = _footer_rows(path)
     sized = df.repartition(want) if allow_shuffle else df.coalesce(want)
     tmp = path.rstrip("/") + ".__compact__"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -81,7 +114,6 @@ def compact_parquet_dir(
             f"compaction aborted: rows {rows_before} -> {rows_after}; "
             f"original left untouched at {path}"
         )
-    old = path.rstrip("/") + ".__old__"
     shutil.rmtree(old, ignore_errors=True)
     os.replace(path, old)
     os.replace(tmp, path)

@@ -641,11 +641,13 @@ def _pq_scored(
         )
     )
 
-    # SCORE: fixed-order fold over the code array through the query's LUT
-    exact = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    # SCORE: fixed-order fold over the code array through the query's LUT.
+    # Codes-only: NO raw-vector join here — the float cosine is attached by
+    # _attach_exact AFTER rank/shortlist filters, so the exact pass touches
+    # only surviving rows (k or pool per query), never the corpus.
     scored = (
         F.broadcast(q.join(lut, "query_id"))
-        .join(codes.join(exact, "cand_id"), F.col("query_id") != F.col("cand_id"))
+        .join(codes, F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
             "cand_id",
@@ -659,10 +661,26 @@ def _pq_scored(
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             ).alias("score_pq"),
-            F.round(cosine_col(F.col("qv"), F.col("cv")), 6).alias("sim_exact"),
+            "qv",
         )
     )
-    return scored
+    return scored, emb
+
+
+def _attach_exact(
+    subset: DataFrame, normed: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Join the (already rank-filtered, per-query-bounded) rows back to the
+    normalized vectors and compute the 6-dp exact cosine — the only float
+    pass over raw vectors, costing |subset| rows, not the corpus."""
+    exact = normed.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    return (
+        subset.join(exact, "cand_id")
+        .withColumn(
+            "sim_exact", F.round(cosine_col(F.col("qv"), F.col("cv")), 6)
+        )
+        .drop("qv", "cv")
+    )
 
 
 def ann_pq_adc_topk(
@@ -673,19 +691,17 @@ def ann_pq_adc_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-k by PQ/ADC score alone (see _pq_scored for the machinery);
-    exact cosine rides along as the in-band accuracy report."""
-    scored = _pq_scored(emb, n_queries, id_col, vec_col)
+    exact cosine rides along as the in-band accuracy report, computed only
+    for the k surviving rows per query."""
+    scored, normed = _pq_scored(emb, n_queries, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(F.desc("score_pq"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(F.col("score_pq"), 6).alias("score_pq"),
-            "sim_exact",
-            F.col("rk").cast("long").alias("rk"),
-        )
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return _attach_exact(top, normed, id_col, vec_col).select(
+        "query_id",
+        "cand_id",
+        F.round(F.col("score_pq"), 6).alias("score_pq"),
+        "sim_exact",
+        F.col("rk").cast("long").alias("rk"),
     )
 
 
@@ -710,21 +726,26 @@ def ann_pq_rerank_topk(
     corpus. At 10^12 vectors the codes table is the only corpus-sized
     scan; the re-rank joins raw vectors for query x POOL rows only.
 
-    Both stages rank on raw (unrounded) scores with cand_id tie-breaks, so
-    the shortlist and the final order are bit-identical cross-engine (same
-    fixed-order folds as the ADC query)."""
-    scored = _pq_scored(emb, n_queries, id_col, vec_col)
+    Determinism: the shortlist ranks on the raw (unrounded) ADC fold with
+    cand_id tie-breaks; the re-rank orders by the 6-dp-ROUNDED exact cosine
+    (identical rounding in both engines) with the same tie-break — so
+    cross-engine agreement rests on identical folds for the shortlist and
+    identical rounding for the re-rank. The cosine is computed AFTER the
+    shortlist filter (see _attach_exact), so the float pass costs
+    pool x queries rows."""
+    scored, normed = _pq_scored(emb, n_queries, id_col, vec_col)
     w_pq = Window.partitionBy("query_id").orderBy(
         F.desc("score_pq"), F.asc("cand_id")
     )
     shortlist = scored.withColumn("rk_pq", F.row_number().over(w_pq)).filter(
         F.col("rk_pq") <= pool
     )
+    pooled = _attach_exact(shortlist, normed, id_col, vec_col)
     w_ex = Window.partitionBy("query_id").orderBy(
         F.desc("sim_exact"), F.asc("cand_id")
     )
     return (
-        shortlist.withColumn("rk", F.row_number().over(w_ex))
+        pooled.withColumn("rk", F.row_number().over(w_ex))
         .filter(F.col("rk") <= k)
         .select(
             "query_id",

@@ -146,3 +146,46 @@ def test_compaction_shrinks_files_and_preserves_content(spark, tmp_path):
     # idempotent: already at/below target -> no rewrite
     m2 = compact_parquet_dir(spark, path, target_bytes=1 << 30)
     assert not m2["rewritten"] and m2["files_after"] == 1
+
+
+def test_compaction_split_recovery_and_partitioned_guard(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rossete_rdf_spark.pipeline.compact import (
+        compact_parquet_dir,
+        parquet_file_count,
+    )
+
+    # allow_shuffle=True splits a too-few-file table up to the byte target
+    path = str(tmp_path / "big.parquet")
+    spark.range(0, 20000, 1, 1).withColumn(
+        "pad", F.sha2(F.col("id").cast("string"), 256)
+    ).write.mode("overwrite").parquet(path)
+    assert parquet_file_count(path) == 1
+    bytes_total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    m = compact_parquet_dir(
+        spark, path, target_bytes=bytes_total // 4 + 1, allow_shuffle=True
+    )
+    assert m["rewritten"] and m["files_after"] > 1
+
+    # crash window recovery: original stranded at .__old__ is restored
+    rows = {r.id for r in spark.read.parquet(path).collect()}
+    os.replace(path, path + ".__old__")
+    m2 = compact_parquet_dir(spark, path, target_bytes=1 << 30)
+    assert {r.id for r in spark.read.parquet(path).collect()} == rows
+    assert m2["rows"] == 20000
+
+    # Hive-partitioned layouts are rejected, not silently no-oped
+    part = str(tmp_path / "part.parquet")
+    spark.range(0, 100).withColumn("k", F.col("id") % 3).write.partitionBy(
+        "k"
+    ).mode("overwrite").parquet(part)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        compact_parquet_dir(spark, part)
