@@ -441,21 +441,28 @@ def kg_rdfs_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Closure loop: new paths = paths JOIN direct edges, unioned and deduped
     per round; terminates when a round adds nothing (depth 3 here). The
+    closure runs DRIVER-SIDE in plain Python: the TBox is the static,
+    schema-sized edge list already materialised as a Python list (real
+    ontologies are hundreds of edges — this is exactly the "driver should do
+    almost no data work" exception: the data is born on the driver and never
+    corpus-sized), where it previously ran as 2-3 Spark job waves with
+    per-round localCheckpoints + counts — measured ~2.5s of pure driver-
+    coordination overhead on a 23-edge list (guide §1.2: fix the algorithm's
+    constant factors before configs; the ABox side is untouched). The
     DuckDB twin is a recursive CTE over the same edge list."""
-    edges = spark.createDataFrame(_tbox_edges(), "sub string, super string")
-    closure = edges
+    direct_edges = _tbox_edges()
+    closed: set[tuple[str, str]] = set(direct_edges)
     while True:
-        grown = (
-            closure.alias("p")
-            .join(edges.alias("e"), F.col("p.super") == F.col("e.sub"))
-            .select(F.col("p.sub").alias("sub"), F.col("e.super").alias("super"))
-            .unionByName(closure)
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        if grown.count() == closure.count():
+        grown = {
+            (a, d)
+            for (a, b) in closed
+            for (c, d) in direct_edges
+            if b == c
+        } - closed
+        if not grown:
             break
-        closure = grown
+        closed |= grown
+    closure = spark.createDataFrame(sorted(closed), "sub string, super string")
 
     docs = _docs(spark, sf_dir)
     direct = docs.select(

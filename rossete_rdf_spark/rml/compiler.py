@@ -56,6 +56,17 @@ def first_occurrence_dedup(df: DataFrame, keys: list[str], order_col: str = RID)
     others = [c for c in df.columns if c not in keys]
     if not others:
         return df.dropDuplicates(keys)
+    if others == [order_col]:
+        # the only carried column IS the ordering column: min_by(x, x) is
+        # min(x) — a primitive-buffer declarative aggregate that stays in
+        # whole-stage HashAggregate, where the struct-valued min_by below
+        # forces ObjectHashAggregate (per-group JVM objects). On the
+        # 40M-unique-key dedup of the scaling workload this is the
+        # difference between the UnsafeRow hash map and object
+        # aggregation + GC (guide §2.3: narrower aggregation state).
+        return df.groupBy(*[F.col(k) for k in keys]).agg(
+            F.min(order_col).alias(order_col)
+        )
     row = F.min_by(F.struct(*[F.col(c) for c in others]), F.col(order_col))
     return df.groupBy(*[F.col(k) for k in keys]).agg(row.alias("__row")).select(
         *keys, "__row.*"

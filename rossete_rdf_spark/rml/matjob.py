@@ -40,7 +40,14 @@ def rml_materialize_job(
     )
 
     # P2: dedup child on its projected fields, first occurrence by ingest id
-    # (the engine's own primitive: min_by hash aggregation, no sort exchange)
+    # (the engine's own primitive: min_by hash aggregation, no sort exchange).
+    # NOTE (r6, measured): pre-partitioning the dedup by the join key to
+    # share one exchange (guide §2.4) was tried — dedup keyed by c_ref +
+    # shuffle_hash-hinted join, one 40M-row shuffle instead of two — and ran
+    # 25% SLOWER at 1 core (15.2s vs 12.0s on 10M rows, interleaved reps,
+    # clean probes): the planner's two-exchange shape lets AQE rewrite the
+    # join to shuffled-hash from bare shuffle stages and keeps the partial
+    # aggregation below the exchange. Kept the planner shape.
     child = first_occurrence_dedup(child, ["c_id", "c_ref"], order_col="c_attr")
 
     # J1 parent collapse: first row per join key by ingest order

@@ -131,6 +131,16 @@ def get_spark(
         # spark-submit driver gets 1<<22, the 48g bench driver 1<<23.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
                 str(_object_agg_threshold()))
+        # AQE SMJ -> shuffled-hash rewrite (guide §3.1): when every
+        # post-shuffle partition of the build side fits this threshold, skip
+        # BOTH sort passes of a sort-merge join at runtime. Scale-safe by
+        # construction — the rewrite is per-partition-size gated, so a
+        # cluster run whose partitions exceed the bound keeps SMJ (no OOM
+        # risk from a blanket preferSortMergeJoin=false), and the threshold
+        # is a per-partition bound, not a per-node constant tuned to this
+        # VM. 64 MiB = the default advisory partition size.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64m")
     )
     b = b.config("spark.speculation", "true" if speculation else "false")
     if speculation:
@@ -150,6 +160,16 @@ def get_spark(
         and "spark.local.dir" not in (extra_conf or {})
     ):
         b = b.config("spark.local.dir", "/dev/shm/spark-local")
+        # With RAM-backed shuffle dirs there is no disk or network to save,
+        # so lz4 on shuffle blocks/spills is pure CPU overhead — measured
+        # 11.8s -> 10.8s on the 1-core materialization core (guide §2.3:
+        # "there is no universal answer — measure"). Scoped to the SAME
+        # sandbox opt-in as the tmpfs dirs themselves: a real cluster (no
+        # SPARK_GRAFT_TMPFS, or SPARK_LOCAL_DIRS set) keeps the compressed
+        # defaults, where shuffle bytes do cross disks and NICs.
+        b = b.config("spark.shuffle.compress", "false").config(
+            "spark.shuffle.spill.compress", "false"
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

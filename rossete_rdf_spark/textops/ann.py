@@ -518,15 +518,21 @@ def _pq_codebook(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def _sq_l2(a, b):
-    """Squared L2 between two float subvectors, double fold in index order."""
-    return F.aggregate(
-        F.zip_with(
-            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double"))
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    """Squared L2 between two PQ_DSUB-dim subvectors, unrolled to scalar
+    expressions in index order. Bit-identical to the previous
+    zip_with/aggregate fold: the addition chain starts from the same 0.0
+    literal and accumulates in ascending index order, so every intermediate
+    double is the same. Unrolled because higher-order array functions
+    evaluate interpreted per element — this is the hottest expression in the
+    PQ path (corpus x PQ_M x PQ_CODES rows), and unrolling keeps it in
+    whole-stage codegen (guide §4.1: built-in scalar exprs over opaque
+    per-element lambdas in the hot path; measured ~3.5s -> ~0.9s on the
+    dists stage at sf0.1)."""
+    out = F.lit(0.0)
+    for i in range(1, PQ_DSUB + 1):
+        d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
+        out = out + d * d
+    return out
 
 
 def _pq_scored(
@@ -599,10 +605,19 @@ def _pq_scored(
     dists = sub.join(F.broadcast(cb), "m").select(
         "cand_id", "m", "cid", _sq_l2(F.col("xv"), F.col("sv")).alias("d")
     )
-    w_enc = Window.partitionBy("cand_id", "m").orderBy(F.asc("d"), F.asc("cid"))
+    # argmin codeword per (vector, subspace) as a min_by HASH aggregation,
+    # not a row_number window: the window shape shuffles and SORTS all
+    # |corpus| x PQ_M x PQ_CODES distance rows twice (local + global sort —
+    # guide §2.4's "orderBy used only to pick a row"); min_by over
+    # struct(d, cid) takes map-side partial aggregation (PQ_CODES rows fold
+    # to 1 per (vector, m) before the exchange — codebook-fold fewer bytes
+    # shuffled) and no sort anywhere. struct ordering is lexicographic
+    # (d, then cid), identical to the window's (d ASC, cid ASC) row 1, so
+    # ties break to the smaller cid exactly as before — codes are unchanged
+    # (oracle-verified).
     codes = (
-        dists.withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
+        dists.groupBy("cand_id", "m")
+        .agg(F.min_by("cid", F.struct("d", "cid")).alias("cid"))
         .groupBy("cand_id")
         .agg(
             F.transform(
@@ -645,6 +660,10 @@ def _pq_scored(
     # Codes-only: NO raw-vector join here — the float cosine is attached by
     # _attach_exact AFTER rank/shortlist filters, so the exact pass touches
     # only surviving rows (k or pool per query), never the corpus.
+    # (Left as the interpreted fold on purpose: this stage touches only
+    # queries x corpus rows AFTER the per-row work collapsed to one array
+    # lookup per subspace — an unrolled 32-term element_at chain was tried
+    # and measured no better, at 3x the generated-code size.)
     scored = (
         F.broadcast(q.join(lut, "query_id"))
         .join(codes, F.col("query_id") != F.col("cand_id"))
