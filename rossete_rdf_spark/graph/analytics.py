@@ -175,8 +175,14 @@ def entity_triangles(docs: DataFrame, k: int = KNN_K) -> DataFrame:
     out-degree is additionally <= 2k. Three hash joins, all on entity-name
     keys; the wedge filter is tuple comparison on (deg, name) — integers
     and strings, no floats anywhere, so no determinism caveats.
-    Output: (entity, n_triangles), entities in >= 1 triangle."""
-    und = entity_knn_edges(docs, k)
+    Output: (entity, n_triangles), entities in >= 1 triangle.
+
+    The k-NN edge table and its oriented form are gazetteer-bounded and
+    multiply referenced (und: degree agg + edge join; oriented: both wedge
+    sides + the closing side), so both carry a lazy localCheckpoint — the
+    same re-execution cut as entity_pagerank's edge table; without it the
+    full mention pipeline re-runs once per reference."""
+    und = entity_knn_edges(docs, k).localCheckpoint(eager=False)
     deg_long = und.select(
         F.explode(F.array("e1", "e2")).alias("v")
     ).groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
@@ -199,7 +205,7 @@ def entity_triangles(docs: DataFrame, k: int = KNN_K) -> DataFrame:
         F.when(lower_first, F.col("d2")).otherwise(F.col("d1")).alias(
             "dst_deg"
         ),
-    )
+    ).localCheckpoint(eager=False)
     ab = oriented.select(
         F.col("src").alias("u"),
         F.col("dst").alias("v"),

@@ -117,8 +117,20 @@ def verified_pairs(candidates: DataFrame, threshold: float = CANON_JACCARD) -> D
 
 def canonical_entity_map(surfaces: DataFrame, threshold: float = CANON_JACCARD) -> DataFrame:
     """(surface) -> (surface, canonical) where canonical = min surface of the
-    duplicate cluster (connected component); singletons map to themselves."""
-    cands = surface_candidate_pairs(surfaces)
+    duplicate cluster (connected component); singletons map to themselves.
+
+    Both intermediates here are multiply referenced and gazetteer-BOUNDED,
+    so they are lazily localCheckpointed (the pagedup.duplicate_edges
+    lesson, measured there as 202s -> 20s): `surfaces` feeds the gram
+    explode AND the final distinct join — without the checkpoint a caller
+    passing a derived plan (kg_job passes the salted gazetteer aggregate)
+    re-executes that whole upstream DAG once per reference; `cands` is
+    referenced three times inside verified_pairs (two semi-side distincts +
+    the pair join), which otherwise re-runs the LSH banding self-join
+    three times. Lazy (eager=False) so each materializes at most once, on
+    first use, and never adds a separate job."""
+    surfaces = surfaces.localCheckpoint(eager=False)
+    cands = surface_candidate_pairs(surfaces).localCheckpoint(eager=False)
     edges = verified_pairs(cands, threshold).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     )
