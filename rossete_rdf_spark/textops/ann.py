@@ -605,16 +605,21 @@ def _pq_scored(
     dists = sub.join(F.broadcast(cb), "m").select(
         "cand_id", "m", "cid", _sq_l2(F.col("xv"), F.col("sv")).alias("d")
     )
-    # argmin codeword per (vector, subspace) as a min_by HASH aggregation,
-    # not a row_number window: the window shape shuffles and SORTS all
-    # |corpus| x PQ_M x PQ_CODES distance rows twice (local + global sort —
-    # guide §2.4's "orderBy used only to pick a row"); min_by over
-    # struct(d, cid) takes map-side partial aggregation (PQ_CODES rows fold
-    # to 1 per (vector, m) before the exchange — codebook-fold fewer bytes
-    # shuffled) and no sort anywhere. struct ordering is lexicographic
-    # (d, then cid), identical to the window's (d ASC, cid ASC) row 1, so
-    # ties break to the smaller cid exactly as before — codes are unchanged
-    # (oracle-verified).
+    # argmin codeword per (vector, subspace) as a min_by AGGREGATION, not a
+    # row_number window (guide §2.4's "orderBy used only to pick a row"):
+    # the window shape shuffled and sorted ALL |corpus| x PQ_M x PQ_CODES
+    # distance rows twice (local + global). min_by over struct(d, cid) takes
+    # map-side PARTIAL aggregation — PQ_CODES rows fold to 1 per
+    # (vector, m) before the exchange, so the shuffle carries codebook-fold
+    # fewer bytes and the post-exchange side never sorts the full distance
+    # table. (The struct ordering makes the buffer immutable, so the
+    # physical operator is still SortAggregate, not HashAggregate — a
+    # double-only ordering would be hash-eligible but nondeterministic on
+    # exact distance ties, which the oracle's (d, cid) tie-break forbids.
+    # The partial-reduction + narrower-exchange win is what measured, not
+    # sort removal in the partial.) struct ordering is lexicographic
+    # (d, then cid), identical to the window's (d ASC, cid ASC) row 1 —
+    # codes are unchanged (oracle-verified).
     codes = (
         dists.groupBy("cand_id", "m")
         .agg(F.min_by("cid", F.struct("d", "cid")).alias("cid"))

@@ -328,3 +328,78 @@ def test_global_sample_is_bounded_heap_not_sort(spark):
     # "Sort (" is how formatted explain renders a Sort node; a key-pattern
     # like "Sort [qkey" never appears in this format (vacuous assert)
     assert "Sort (" not in plan
+
+
+def test_pq_encode_is_min_by_agg_not_window(spark):
+    # r6: the PQ encode argmin runs as a min_by hash aggregation with
+    # map-side partials, not a row_number window — the window shape sorted
+    # corpus x PQ_M x PQ_CODES distance rows twice. Exactly ONE window may
+    # remain in the whole query: the final per-query top-k.
+    from rossete_rdf_spark.textops.ann import ann_pq_adc_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(ann_pq_adc_topk(emb))
+    assert plan.count("Window (") == 1  # top-k only; encode argmin is agg
+
+
+def test_first_occurrence_dedup_single_column_stays_hash_agg(spark):
+    # r6: when the only carried column IS the ordering column, the dedup
+    # lowers to min() — primitive buffer, whole-stage HashAggregate. The
+    # struct-valued min_by general path falls to SortAggregate (declarative
+    # aggregate with an immutable buffer), so this fast path is what keeps
+    # the 40M-key scaling dedup sort-free. Results must be identical.
+    from pyspark.sql import functions as F
+
+    from rossete_rdf_spark.rml.compiler import first_occurrence_dedup
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 100).alias("k"), (F.col("id") % 7).alias("v")
+    )
+    fast = first_occurrence_dedup(df, ["k"], order_col="v")
+    plan = _plan(fast)
+    assert "SortAggregate" not in plan and "ObjectHashAggregate" not in plan
+    assert "HashAggregate" in plan
+    # same rows as the general struct path on an extra carried column
+    general = first_occurrence_dedup(
+        df.withColumn("w", F.col("v") * 10), ["k"], order_col="v"
+    ).select("k", "v")
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, general.collect())
+    )
+
+
+def test_rdfs_closure_matches_spark_fixpoint(spark):
+    # r6: the TBox closure moved from iterated Spark joins to a driver-side
+    # Python fixpoint (the edge list is static and schema-sized). Pin its
+    # output against an independent Spark-side fixpoint so a closure bug
+    # can never hide behind the faster path.
+    from pyspark.sql import functions as F
+
+    from rossete_rdf_spark.kgops import _tbox_edges
+
+    edges = spark.createDataFrame(_tbox_edges(), "sub string, super string")
+    closure = edges
+    while True:
+        grown = (
+            closure.alias("p")
+            .join(edges.alias("e"), F.col("p.super") == F.col("e.sub"))
+            .select(F.col("p.sub").alias("sub"), F.col("e.super").alias("super"))
+            .unionByName(closure)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if grown.count() == closure.count():
+            break
+        closure = grown
+    expected = {(r.sub, r.super) for r in closure.collect()}
+
+    direct = _tbox_edges()
+    closed = set(direct)
+    while True:
+        new = {
+            (a, d) for (a, b) in closed for (c, d) in direct if b == c
+        } - closed
+        if not new:
+            break
+        closed |= new
+    assert closed == expected
