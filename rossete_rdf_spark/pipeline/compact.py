@@ -48,7 +48,11 @@ def _parquet_files(path: str) -> list[str]:
             files.append(full)
         elif os.path.isdir(full) and not f.startswith((".", "_")):
             nested.append(f)
-    if nested and not files:
+    if nested:
+        # raised for ANY nested data dirs, even alongside top-level files
+        # (a mixed layout): byte/row accounting below covers only top-level
+        # files, so letting a mixed layout through would surface as a
+        # confusing row-count-mismatch abort instead of this clear boundary
         raise NotImplementedError(
             f"{path} looks Hive-partitioned ({nested[:3]}...); compact each "
             "partition directory individually"
@@ -87,6 +91,13 @@ def compact_parquet_dir(
     old = path.rstrip("/") + ".__old__"
     if not os.path.exists(path) and os.path.exists(old):
         os.replace(old, path)  # recover the pre-crash original
+    elif os.path.exists(old):
+        # path exists AND .__old__ exists: a previous run crashed in the
+        # post-swap window (after the new table landed, before the old copy
+        # was removed). The live table is the newer one; reap the stale
+        # duplicate so it cannot leak disk forever — without this, only the
+        # rewrite path (line below the no-op return) ever cleaned it up.
+        shutil.rmtree(old, ignore_errors=True)
     files_before = parquet_file_count(path)
     total = _dir_parquet_bytes(path)
     want = max(1, math.ceil(total / target_bytes))

@@ -189,3 +189,50 @@ def test_compaction_split_recovery_and_partitioned_guard(spark, tmp_path):
 
     with pytest.raises(NotImplementedError):
         compact_parquet_dir(spark, part)
+
+
+def test_compaction_reaps_stale_old_and_rejects_mixed_layout(spark, tmp_path):
+    # r6 ADVICE fixes: (1) a crash AFTER the new table swapped in but
+    # BEFORE the old copy was removed leaves <path>.__old__ next to a live
+    # table — the next invocation (even a no-op) must reap it, or it leaks
+    # a full table copy forever; (2) a MIXED layout (top-level parquet plus
+    # key=*/ subdirs) must hit the NotImplementedError boundary, not a
+    # confusing row-count-mismatch abort.
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rossete_rdf_spark.pipeline.compact import compact_parquet_dir
+
+    path = str(tmp_path / "t.parquet")
+    spark.range(0, 1000, 1, 2).write.mode("overwrite").parquet(path)
+    # simulate the post-swap crash window: live table + stale .__old__ copy
+    shutil.copytree(path, path + ".__old__")
+    m = compact_parquet_dir(spark, path, target_bytes=1 << 30)
+    assert not os.path.exists(path + ".__old__")  # reaped on entry
+    assert m["rows"] == 1000
+    assert {r.id for r in spark.read.parquet(path).collect()} == set(range(1000))
+
+    # mixed layout: nested data dir alongside top-level files
+    os.makedirs(os.path.join(path, "k=0"))
+    srcfile = next(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    shutil.copy(srcfile, os.path.join(path, "k=0", "part-0.parquet"))
+    with pytest.raises(NotImplementedError):
+        compact_parquet_dir(spark, path)
+
+
+def test_unpivot_pivot_types_cover_generated_events(spark):
+    # r6 ADVICE: events_unpivot_roundtrip only round-trips event types in
+    # PIVOT_TYPES while its oracle aggregates ALL types — pin the data
+    # contract here so a 6th generated event type fails loudly in CI
+    # instead of silently diverging query and oracle.
+    from rossete_rdf_spark.relops import PIVOT_TYPES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        events = spark.read.parquet(f"{sf}/events.parquet")
+        types = {r.event_type for r in events.select("event_type").distinct().collect()}
+        assert types <= set(PIVOT_TYPES), (sf, types)
